@@ -1,0 +1,152 @@
+"""Public path-based API mirroring the reference signatures.
+
+``embed / extract / detect`` keep the reference's call shape
+(ref: app_dct_svd_single.py:112-114,192,291) while running the numeric
+pipeline on device. Array-in/array-out variants live in
+``dctsvd_tpu.models.image`` (parity path) and ``dctsvd_tpu.models.blocked``
+(throughput path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dctsvd_tpu.io import image_io, meta as metaio
+from dctsvd_tpu.models import image as m_image
+from dctsvd_tpu.ops import color as c_ops
+from dctsvd_tpu.ops import resize as r_ops
+from dctsvd_tpu.utils import crypto
+from dctsvd_tpu.utils.xfer import to_numpy
+from dctsvd_tpu.utils.config import DETECT_THRESH_DEFAULT, K_FRAC_DEFAULT
+
+
+def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
+          alpha: float = 0.1, color: bool = False,
+          password: Optional[str] = None, kfrac: float = K_FRAC_DEFAULT,
+          method: str = "full") -> Tuple[str, str, float, float]:
+    """Embed a watermark image into a cover image.
+
+    Returns (out_path, meta_path, psnr, ssim), exactly like the reference
+    (ref: app_dct_svd_single.py:112-190).
+    """
+    crypto.require_password(password)
+    cover = image_io.read_bgr(cover_path)
+    wm = image_io.read_bgr(wm_source)
+    h, w = cover.shape[:2]
+
+    nonce = crypto.make_nonce()
+    key = crypto.derive_key(password, nonce)
+    idx = crypto.permutation_indices(key, h * w)
+
+    wm_rs = to_numpy(r_ops.resize_area_u8(jnp.asarray(wm), h, w))
+
+    if method == "blocked":
+        from dctsvd_tpu.models import blocked as m_blocked
+        return m_blocked.embed_paths(cover, wm_rs, out_path, meta_path,
+                                     alpha=alpha, color=color, key=key,
+                                     nonce=nonce, kfrac=kfrac)
+
+    out_path = metaio.default_stego_path(out_path)
+    if color:
+        res = m_image.embed_color(jnp.asarray(cover), jnp.asarray(wm_rs),
+                                  jnp.asarray(idx), jnp.float32(alpha),
+                                  kfrac=kfrac)
+        s_bgr = np.asarray(res.s_cover)
+        uw = np.asarray(res.uw)
+        vwt = np.asarray(res.vwt)
+        sw = np.asarray(res.sw)
+        digest = metaio.color_digest(key, s_bgr, uw, vwt)
+        image_io.write_png(out_path, to_numpy(res.stego_bgr))
+        metaio.save_color_meta(meta_path, s_bgr=s_bgr, uw=uw, vwt=vwt, sw=sw,
+                               shape=(h, w), alpha=alpha, kfrac=kfrac,
+                               nonce=nonce, digest=digest)
+    else:
+        wm_gray = to_numpy(c_ops.bgr_to_gray(jnp.asarray(wm_rs)))
+        res = m_image.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
+                                 jnp.asarray(idx), jnp.float32(alpha),
+                                 kfrac=kfrac)
+        sc = np.asarray(res.sc)
+        uw = np.asarray(res.uw)
+        vwt = np.asarray(res.vwt)
+        digest = metaio.gray_digest(key, sc, uw, vwt)
+        image_io.write_png(out_path, to_numpy(res.stego_bgr))
+        metaio.save_gray_meta(meta_path, sc=sc, uw=uw, vwt=vwt,
+                              sw=np.asarray(res.sw), shape=(h, w),
+                              alpha=alpha, kfrac=kfrac, nonce=nonce,
+                              digest=digest)
+    return out_path, meta_path, float(res.psnr), float(res.ssim)
+
+
+def extract(stego_path: str, meta_path: str, out_path: str,
+            password: str, normalize: bool = True,
+            enhance: bool = True) -> str:
+    """HMAC-gated extraction (ref: app_dct_svd_single.py:192-282)."""
+    crypto.require_password(password)
+    meta = metaio.load_meta(meta_path)
+    stego = image_io.read_bgr(stego_path)
+    h, w = meta.shape
+    key = crypto.derive_key(password, meta.nonce)
+    idx = crypto.permutation_indices(key, h * w)
+    inv = crypto.inverse_permutation(idx)
+
+    if meta.is_blocked:
+        from dctsvd_tpu.models import blocked as m_blocked
+        return m_blocked.extract_paths(stego, meta, out_path, key,
+                                       normalize=normalize, enhance=enhance)
+
+    uw, vwt, _sw = meta.wm_basis_stacked()
+    s_cover = meta.s_cover_stacked()
+    if meta.is_color:
+        expected = metaio.color_digest(key, s_cover, uw, vwt)
+    else:
+        expected = metaio.gray_digest(key, s_cover, uw, vwt)
+    if not crypto.digests_equal(expected, meta.digest):
+        raise ValueError("Wrong password or corrupted meta "
+                         "(HMAC verification failed).")
+
+    alpha = jnp.float32(meta.alpha)
+    if meta.is_color:
+        wm = m_image.extract_color(jnp.asarray(stego), jnp.asarray(s_cover),
+                                   jnp.asarray(uw), jnp.asarray(vwt),
+                                   jnp.asarray(inv), alpha,
+                                   kfrac=meta.kfrac, normalize=normalize)
+    else:
+        wm = m_image.extract_gray(jnp.asarray(stego), jnp.asarray(s_cover),
+                                  jnp.asarray(uw), jnp.asarray(vwt),
+                                  jnp.asarray(inv), alpha,
+                                  kfrac=meta.kfrac, normalize=normalize)
+    wm_np = to_numpy(wm)
+    if enhance:
+        from dctsvd_tpu.models import enhance as m_enhance
+        wm_np = (m_enhance.enhance_color_np(wm_np) if meta.is_color
+                 else m_enhance.enhance_gray_np(wm_np))
+    out_path = metaio.default_wm_path(out_path)
+    image_io.write_png(out_path, wm_np)
+    return out_path
+
+
+def detect(stego_path: str, meta_path: str,
+           thresh: float = DETECT_THRESH_DEFAULT) -> Tuple[bool, float]:
+    """No-password NC detection (ref: app_dct_svd_single.py:291-318)."""
+    meta = metaio.load_meta(meta_path)
+    stego = image_io.read_bgr(stego_path)
+
+    if meta.is_blocked:
+        from dctsvd_tpu.models import blocked as m_blocked
+        return m_blocked.detect_paths(stego, meta, thresh)
+
+    alpha = jnp.float32(meta.alpha)
+    _uw, _vwt, sw = meta.wm_basis_stacked()
+    s_cover = meta.s_cover_stacked()
+    if meta.is_color:
+        score = m_image.detect_color(jnp.asarray(stego),
+                                     jnp.asarray(s_cover), jnp.asarray(sw),
+                                     alpha)
+    else:
+        score = m_image.detect_gray(jnp.asarray(stego), jnp.asarray(s_cover),
+                                    jnp.asarray(sw), alpha)
+    score = float(score)
+    return bool(score >= thresh), score

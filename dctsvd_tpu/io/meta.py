@@ -1,0 +1,160 @@
+"""The `.npz` meta side-channel — the persistence contract.
+
+Non-blind extraction/detection needs side information saved at embed time;
+the reference stores it as a compressed `.npz` next to the stego PNG
+(schema in SURVEY.md §2.5; ref: app_dct_svd_single.py:157-166,183-189).
+This module reads/writes that schema byte-compatibly (same keys, dtypes and
+HMAC coverage order) and adds the blocked-path scheme under its own
+``mode`` tag, plus the legacy pickled video metas (ref:
+watermark/video_dct_svd.pyc l.167,191).
+
+HMAC digest coverage (fixed order, raw array bytes):
+  gray:  Sc, Uw, Vwt                        (ref: app_dct_svd_single.py:182)
+  color: Sb,Sg,Sr, UWb,UWg,UWr, VWbt,VWgt,VWrt   (ref: :152-156)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from dctsvd_tpu.utils import crypto
+
+
+MODE_GRAY = "gray"
+MODE_COLOR = "color"
+MODE_BLOCKED_GRAY = "blocked-gray"
+MODE_BLOCKED_COLOR = "blocked-color"
+
+
+def gray_digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
+                vwt: np.ndarray) -> bytes:
+    return crypto.meta_digest(key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
+
+
+def color_digest(key: bytes, s_bgr: np.ndarray, uw: np.ndarray,
+                 vwt: np.ndarray) -> bytes:
+    """s_bgr/uw/vwt stacked [3, ...] in B,G,R order."""
+    parts = [s_bgr[0].tobytes(), s_bgr[1].tobytes(), s_bgr[2].tobytes(),
+             uw[0].tobytes(), uw[1].tobytes(), uw[2].tobytes(),
+             vwt[0].tobytes(), vwt[1].tobytes(), vwt[2].tobytes()]
+    return crypto.meta_digest(key, parts)
+
+
+def save_gray_meta(path: str, *, sc, uw, vwt, sw, shape, alpha: float,
+                   kfrac: float, nonce: bytes, digest: bytes,
+                   payload_type: str = "image",
+                   extra: Optional[Dict] = None) -> str:
+    kw = dict(mode=MODE_GRAY, payload_type=payload_type,
+              Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
+              shape=np.asarray(shape), alpha=float(alpha),
+              kfrac=float(kfrac),
+              nonce=np.frombuffer(nonce, dtype=np.uint8),
+              digest=np.frombuffer(digest, dtype=np.uint8))
+    if extra:
+        kw.update(extra)
+    np.savez_compressed(path, **kw)
+    return path
+
+
+def save_color_meta(path: str, *, s_bgr, uw, vwt, sw, shape, alpha: float,
+                    kfrac: float, nonce: bytes, digest: bytes,
+                    payload_type: str = "image",
+                    extra: Optional[Dict] = None) -> str:
+    """s_bgr/uw/vwt/sw stacked [3, ...] in B,G,R channel order."""
+    kw = dict(mode=MODE_COLOR, payload_type=payload_type,
+              Sb=s_bgr[0], Sg=s_bgr[1], Sr=s_bgr[2],
+              UWb=uw[0], VWbt=vwt[0], SWb=sw[0],
+              UWg=uw[1], VWgt=vwt[1], SWg=sw[1],
+              UWr=uw[2], VWrt=vwt[2], SWr=sw[2],
+              shape=np.asarray(shape), alpha=float(alpha),
+              kfrac=float(kfrac),
+              nonce=np.frombuffer(nonce, dtype=np.uint8),
+              digest=np.frombuffer(digest, dtype=np.uint8))
+    if extra:
+        kw.update(extra)
+    np.savez_compressed(path, **kw)
+    return path
+
+
+@dataclass
+class Meta:
+    """A loaded meta file, normalized across gray/color/blocked modes."""
+    mode: str
+    payload_type: str
+    alpha: float
+    kfrac: float
+    shape: tuple
+    nonce: Optional[bytes]
+    digest: Optional[bytes]
+    arrays: Dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def is_color(self) -> bool:
+        return self.mode in (MODE_COLOR, MODE_BLOCKED_COLOR)
+
+    @property
+    def is_blocked(self) -> bool:
+        return self.mode.startswith("blocked")
+
+    def s_cover_stacked(self) -> np.ndarray:
+        """[3, L] B,G,R for color modes, [L] for gray."""
+        if self.is_color:
+            return np.stack([self.arrays["Sb"], self.arrays["Sg"],
+                             self.arrays["Sr"]])
+        return self.arrays["Sc"]
+
+    def wm_basis_stacked(self):
+        """(uw, vwt, sw), stacked [3, ...] for color, plain for gray."""
+        if self.is_color:
+            uw = np.stack([self.arrays["UWb"], self.arrays["UWg"],
+                           self.arrays["UWr"]])
+            vwt = np.stack([self.arrays["VWbt"], self.arrays["VWgt"],
+                            self.arrays["VWrt"]])
+            sw = np.stack([self.arrays["SWb"], self.arrays["SWg"],
+                           self.arrays["SWr"]])
+            return uw, vwt, sw
+        return self.arrays["Uw"], self.arrays["Vwt"], self.arrays["Sw"]
+
+
+_SCALARS = {"mode", "payload_type", "alpha", "kfrac", "shape", "nonce",
+            "digest", "text", "font_size", "is_text_watermark", "is_color"}
+
+
+def load_meta(path: str) -> Meta:
+    """Load any image-mode meta (ours or reference-written)."""
+    with np.load(path, allow_pickle=False) as data:
+        keys = set(data.files)
+        mode = str(data["mode"]) if "mode" in keys else MODE_GRAY
+        payload_type = (str(data["payload_type"])
+                        if "payload_type" in keys else "image")
+        alpha = float(data["alpha"])
+        kfrac = float(data["kfrac"]) if "kfrac" in keys else 0.6
+        shape = tuple(int(v) for v in data["shape"]) if "shape" in keys else ()
+        nonce = (bytes(data["nonce"].astype(np.uint8).tobytes())
+                 if "nonce" in keys else None)
+        digest = (bytes(data["digest"].astype(np.uint8).tobytes())
+                  if "digest" in keys else None)
+        arrays = {k: np.asarray(data[k]) for k in keys if k not in _SCALARS}
+    return Meta(mode=mode, payload_type=payload_type, alpha=alpha,
+                kfrac=kfrac, shape=shape, nonce=nonce, digest=digest,
+                arrays=arrays)
+
+
+def default_stego_path(out_path: str) -> str:
+    """Non-.png stego paths are rewritten to `<base>_stego.png`
+    (ref: app_dct_svd_single.py:148-149,178-179)."""
+    if not out_path.lower().endswith(".png"):
+        return os.path.splitext(out_path)[0] + "_stego.png"
+    return out_path
+
+
+def default_wm_path(out_path: str) -> str:
+    """Non-.png extract outputs become `<base>_wm.png`
+    (ref: app_dct_svd_single.py:225-226,278-279)."""
+    if not out_path.lower().endswith(".png"):
+        return os.path.splitext(out_path)[0] + "_wm.png"
+    return out_path

@@ -1,0 +1,284 @@
+"""Blocked (8×8) DCT–SVD watermarking — the TPU throughput path.
+
+A scheme *variant* designed for the hardware rather than translated from the
+reference (SURVEY.md §7 design stance, BASELINE.json north_star): the frame
+becomes a ``[N, 8, 8]`` block tensor, the block DCT is one einsum against the
+8×8 DCT basis (MXU), and the per-block SVD is the batched one-sided Jacobi
+kernel (ops/svd.py) instead of a full-frame LAPACK factorization — the op
+that is >90 % of the reference's runtime (SURVEY.md §3.1). Same security
+layer (keyed permutation + HMAC meta) and the same additive
+singular-value spread rule per block, so the scheme keeps the reference's
+embedding semantics at block granularity.
+
+Extraction/detection parity is defined against this embedder (its own meta
+``mode`` tags 'blocked-gray'/'blocked-color'); reference-meta compatibility
+is the parity path's job (models/image.py).
+
+All graphs take an optional leading batch dim (frames), which is also the
+axis the distributed layer shards across chips (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dctsvd_tpu.io import image_io, meta as metaio
+from dctsvd_tpu.ops import color, dct, metrics, permute, svd
+from dctsvd_tpu.utils import crypto
+from dctsvd_tpu.utils.xfer import to_numpy
+from dctsvd_tpu.utils.config import BLOCK, K_FRAC_DEFAULT
+
+
+def k_of_block(kfrac: float, b: int = BLOCK) -> int:
+    """Per-block truncation: K = max(1, int(kfrac · b)) leading singular
+    values of each 8×8 block carry the mark (kfrac=0.6 -> 4 of 8)."""
+    return max(1, int(kfrac * b))
+
+
+def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
+    h, w = x.shape[-2], x.shape[-1]
+    ph = (-h) % b
+    pw = (-w) % b
+    if ph or pw:
+        cfg = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+        x = jnp.pad(x, cfg, mode="reflect")
+    return x, h + ph, w + pw
+
+
+def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
+    """float plane [..., H, W] -> per-block DCT SVD."""
+    padded, hp, wp = _pad_to_blocks(plane)
+    blocks = dct.blockify(padded)
+    coefs = dct.dct2_blocks(blocks)
+    return svd.jacobi_svd(coefs, compute_uv=compute_uv), (hp, wp)
+
+
+class BlockedEmbedResult(NamedTuple):
+    stego_bgr: jax.Array   # [..., H, W, 3] u8
+    sc: jax.Array          # [..., N, 8]  cover block singular values
+    uw: jax.Array          # [..., N, 8, 8]
+    vwt: jax.Array         # [..., N, 8, 8]
+    sw: jax.Array          # [..., N, 8]
+    psnr: jax.Array
+    ssim: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
+               perm_idx: jax.Array, alpha: jax.Array,
+               kfrac: float = K_FRAC_DEFAULT) -> BlockedEmbedResult:
+    """Blocked gray embed: Y-channel, per-8×8-block singular value spread."""
+    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
+    y = color.luma_f32(cover_bgr_u8)
+    wy = wm_gray_u8.astype(jnp.float32)
+    wy_s = permute.permute_plane(wy, perm_idx)
+
+    (uc, sc, vct), (hp, wp) = _plane_to_svd_blocks(y)
+    (uw, sw, vwt), _ = _plane_to_svd_blocks(wy_s)
+
+    k = k_of_block(kfrac)
+    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
+    s_marked = sc + alpha * mask * sw
+
+    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
+                    precision=jax.lax.Precision.HIGHEST)
+    y_blocks = dct.idct2_blocks(cw)
+    y_marked = dct.unblockify(y_blocks, hp, wp)[..., :h, :w]
+    stego = color.replace_luma(y_marked, cover_bgr_u8)
+
+    ps = metrics.psnr(cover_bgr_u8, stego)
+    ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8), y_marked)
+    return BlockedEmbedResult(stego, sc, uw, vwt, sw, ps, ss)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def embed_color(cover_bgr_u8: jax.Array, wm_bgr_u8: jax.Array,
+                perm_idx: jax.Array, alpha: jax.Array,
+                kfrac: float = K_FRAC_DEFAULT) -> BlockedEmbedResult:
+    """Blocked per-BGR-channel embed with one shared permutation."""
+    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
+    chans = jnp.moveaxis(cover_bgr_u8.astype(jnp.float32), -1, -3)
+    wm_chans = jnp.moveaxis(wm_bgr_u8.astype(jnp.float32), -1, -3)
+    wm_s = permute.permute_plane(wm_chans, perm_idx)
+
+    (uc, sc, vct), (hp, wp) = _plane_to_svd_blocks(chans)
+    (uw, sw, vwt), _ = _plane_to_svd_blocks(wm_s)
+
+    k = k_of_block(kfrac)
+    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
+    s_marked = sc + alpha * mask * sw
+
+    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
+                    precision=jax.lax.Precision.HIGHEST)
+    blocks = dct.idct2_blocks(cw)
+    marked = dct.unblockify(blocks, hp, wp)[..., :h, :w]
+    stego = jnp.moveaxis(jnp.clip(marked, 0, 255), -3, -1).astype(jnp.uint8)
+
+    ps = metrics.psnr(cover_bgr_u8, stego)
+    ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8),
+                      color.bgr_to_gray(stego))
+    return BlockedEmbedResult(stego, sc, uw, vwt, sw, ps, ss)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
+                 vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
+                 kfrac: float = K_FRAC_DEFAULT,
+                 normalize: bool = True) -> jax.Array:
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    y = color.luma_f32(stego_bgr_u8)
+    padded, hp, wp = _pad_to_blocks(y)
+    coefs = dct.dct2_blocks(dct.blockify(padded))
+    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+
+    k = k_of_block(kfrac)
+    mask = jnp.arange(BLOCK) < k
+    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    sw_hat = jnp.where(mask, sw_hat, 0.0)
+
+    wm_blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
+                           precision=jax.lax.Precision.HIGHEST)
+    wy_s = dct.unblockify(dct.idct2_blocks(wm_blocks), hp, wp)[..., :h, :w]
+    wy = permute.unpermute_plane(wy_s, inv_idx)
+    if normalize:
+        lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
+        wy = (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    return jnp.clip(wy, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
+                  vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
+                  kfrac: float = K_FRAC_DEFAULT,
+                  normalize: bool = True) -> jax.Array:
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    padded, hp, wp = _pad_to_blocks(chans)
+    coefs = dct.dct2_blocks(dct.blockify(padded))
+    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+
+    k = k_of_block(kfrac)
+    mask = jnp.arange(BLOCK) < k
+    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    sw_hat = jnp.where(mask, sw_hat, 0.0)
+
+    wm_blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
+                           precision=jax.lax.Precision.HIGHEST)
+    wm_s = dct.unblockify(dct.idct2_blocks(wm_blocks), hp, wp)[..., :h, :w]
+    wm = permute.unpermute_plane(wm_s, inv_idx)
+    if normalize:
+        lo = jnp.min(wm, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(wm, axis=(-2, -1), keepdims=True)
+        wm = (wm - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
+
+
+@jax.jit
+def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
+                sw: jax.Array, alpha: jax.Array) -> jax.Array:
+    """NC between stored and recovered per-block singular values, flattened
+    over all blocks (the blocked analog of the reference's detect)."""
+    y = color.luma_f32(stego_bgr_u8)
+    padded, _, _ = _pad_to_blocks(y)
+    coefs = dct.dct2_blocks(dct.blockify(padded))
+    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    n = sw.shape[-2] * sw.shape[-1]
+    return metrics.nc(sw.reshape(*sw.shape[:-2], n),
+                      sw_hat.reshape(*sw_hat.shape[:-2], n))
+
+
+@jax.jit
+def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
+                 sw: jax.Array, alpha: jax.Array) -> jax.Array:
+    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    padded, _, _ = _pad_to_blocks(chans)
+    coefs = dct.dct2_blocks(dct.blockify(padded))
+    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    n = sw.shape[-2] * sw.shape[-1]
+    scores = metrics.nc(sw.reshape(*sw.shape[:-2], n),
+                        sw_hat.reshape(*sw_hat.shape[:-2], n))
+    return jnp.mean(scores, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration (called from dctsvd_tpu.api for method='blocked')
+# ---------------------------------------------------------------------------
+
+def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
+            vwt: np.ndarray) -> bytes:
+    return crypto.meta_digest(
+        key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
+
+
+def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
+                meta_path: str, *, alpha: float, color: bool, key: bytes,
+                nonce: bytes, kfrac: float):
+    h, w = cover.shape[:2]
+    idx = crypto.permutation_indices(key, h * w)
+    if color:
+        res = embed_color(jnp.asarray(cover), jnp.asarray(wm_resized),
+                          jnp.asarray(idx), jnp.float32(alpha), kfrac=kfrac)
+        mode = metaio.MODE_BLOCKED_COLOR
+    else:
+        from dctsvd_tpu.ops import color as c_ops
+        wm_gray = c_ops.bgr_to_gray(jnp.asarray(wm_resized))
+        res = embed_gray(jnp.asarray(cover), wm_gray,
+                         jnp.asarray(idx), jnp.float32(alpha), kfrac=kfrac)
+        mode = metaio.MODE_BLOCKED_GRAY
+    sc = np.asarray(res.sc)
+    uw = np.asarray(res.uw)
+    vwt = np.asarray(res.vwt)
+    sw = np.asarray(res.sw)
+    digest = _digest(key, sc, uw, vwt)
+    out_path = metaio.default_stego_path(out_path)
+    image_io.write_png(out_path, to_numpy(res.stego_bgr))
+    np.savez_compressed(meta_path, mode=mode, payload_type="image",
+                        Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
+                        shape=np.asarray((h, w)), alpha=float(alpha),
+                        kfrac=float(kfrac), block=BLOCK,
+                        nonce=np.frombuffer(nonce, dtype=np.uint8),
+                        digest=np.frombuffer(digest, dtype=np.uint8))
+    return out_path, meta_path, float(res.psnr), float(res.ssim)
+
+
+def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
+                  key: bytes, *, normalize: bool, enhance: bool) -> str:
+    h, w = meta.shape
+    sc = meta.arrays["Sc"]
+    uw = meta.arrays["Uw"]
+    vwt = meta.arrays["Vwt"]
+    expected = _digest(key, sc, uw, vwt)
+    if not crypto.digests_equal(expected, meta.digest):
+        raise ValueError("Wrong password or corrupted meta "
+                         "(HMAC verification failed).")
+    idx = crypto.permutation_indices(key, h * w)
+    inv = crypto.inverse_permutation(idx)
+    fn = extract_color if meta.mode == metaio.MODE_BLOCKED_COLOR else extract_gray
+    wm = fn(jnp.asarray(stego), jnp.asarray(sc), jnp.asarray(uw),
+            jnp.asarray(vwt), jnp.asarray(inv), jnp.float32(meta.alpha),
+            kfrac=meta.kfrac, normalize=normalize)
+    wm_np = to_numpy(wm)
+    if enhance:
+        from dctsvd_tpu.models import enhance as m_enhance
+        wm_np = (m_enhance.enhance_color_np(wm_np)
+                 if meta.mode == metaio.MODE_BLOCKED_COLOR
+                 else m_enhance.enhance_gray_np(wm_np))
+    out_path = metaio.default_wm_path(out_path)
+    image_io.write_png(out_path, wm_np)
+    return out_path
+
+
+def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float):
+    fn = detect_color if meta.mode == metaio.MODE_BLOCKED_COLOR else detect_gray
+    score = float(fn(jnp.asarray(stego), jnp.asarray(meta.arrays["Sc"]),
+                     jnp.asarray(meta.arrays["Sw"]),
+                     jnp.float32(meta.alpha)))
+    return bool(score >= thresh), score

@@ -1,0 +1,141 @@
+"""SVD on TPU: full-frame wrapper + batched one-sided Jacobi kernel.
+
+The reference's hot op is ``np.linalg.svd`` of the whole-frame DCT matrix —
+3.37 s for 1080×1920 on its CPU, >90 % of embed runtime (SURVEY.md §3.1,
+ref: app_dct_svd_single.py:172-173). Two device strategies here:
+
+  - :func:`svd_full` — whole-frame SVD for the parity path. XLA's qdwh-based
+    ``jnp.linalg.svd`` runs on-device (~43 ms for 1080×1920 f32 on v5e).
+  - :func:`jacobi_svd` — batched one-sided (Hestenes) Jacobi over
+    ``[..., N, m, n]`` tensors of small matrices (the blocked path's
+    [N, 8, 8] DCT blocks). One-sided Jacobi is the right algorithm on TPU:
+    a *fixed* number of sweeps of statically-unrolled column-pair rotations,
+    no data-dependent control flow, everything vectorized over the batch.
+    ``jnp.linalg.svd`` on the same [32400, 8, 8] batch takes ~485 ms; this
+    kernel is pure VPU elementwise work over the batch axis.
+
+Matrices are processed in "column-major stack" layout ``[n, ..., m]`` so each
+column update is a static-index slice of the leading axis — XLA turns these
+into cheap in-register updates, and the batch axis stays on lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def svd_full(x: jax.Array, compute_uv: bool = True):
+    """Full-matrix thin SVD (U, S, Vt) of the trailing two axes.
+
+    ``compute_uv=False`` still runs the full decomposition and returns S:
+    XLA's values-only SVD is a *different* graph whose singular values differ
+    from the full path at f32 ulp level, and detect/extract divide
+    ``S_stego − Sc`` by alpha — on an unmodified image that difference must
+    be exactly zero against the meta's stored Sc (the reference's LAPACK
+    gesdd is bitwise-identical across jobz modes, so it gets this for free;
+    ref: app_dct_svd_single.py:205,297).
+    """
+    u, s, vt = jnp.linalg.svd(x, full_matrices=False)
+    if compute_uv:
+        return u, s, vt
+    return s
+
+
+def _rotation(app: jax.Array, aqq: jax.Array, apq: jax.Array):
+    """Stable Jacobi rotation (c, s) zeroing the (p,q) off-diagonal of the
+    implicit Gram matrix. All inputs are batched [...]."""
+    eps = jnp.asarray(1e-30, app.dtype)
+    denom = 2.0 * apq
+    safe = jnp.abs(denom) > eps
+    zeta = jnp.where(safe, (aqq - app) / jnp.where(safe, denom, 1.0), 0.0)
+    # sign(0) must be +1 here: zeta == 0 with apq != 0 means parallel columns
+    # of equal norm, whose correct rotation is 45 deg (t = 1), not identity.
+    sgn = jnp.where(zeta >= 0, 1.0, -1.0).astype(zeta.dtype)
+    t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    t = jnp.where(safe, t, 0.0)
+    c = jax.lax.rsqrt(1.0 + t * t)
+    s = c * t
+    return c, s
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "compute_uv",
+                                             "sort_descending"))
+def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
+               sort_descending: bool = True):
+    """Batched one-sided Jacobi SVD of [..., m, n] with m >= n small (≤ 32).
+
+    Returns (U [..., m, n], S [..., n], Vt [..., n, n]) with S >= 0 sorted
+    descending, or just S when ``compute_uv=False``.
+
+    Accuracy: ~1e-6 relative on singular values of random 8×8 f32 after 8
+    sweeps (tests/test_svd.py). Fixed sweep count -> fully static graph.
+    """
+    *batch, m, n = a.shape
+    if n > m:
+        raise ValueError("jacobi_svd requires m >= n (pass a transposed).")
+    dtype = a.dtype
+
+    # Column stack layout: G[p] is column p across the whole batch, [n, B, m]
+    g = jnp.moveaxis(a, -1, 0)                      # [n, ..., m]
+    if compute_uv:
+        eye = jnp.eye(n, dtype=dtype)
+        v = jnp.broadcast_to(eye.reshape((n,) + (1,) * len(batch) + (n,)),
+                             (n,) + tuple(batch) + (n,))
+        v = jnp.array(v)
+    else:
+        v = None
+
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+
+    def sweep(carry, _):
+        g, v = carry
+        for p, q in pairs:
+            gp, gq = g[p], g[q]
+            app = jnp.sum(gp * gp, axis=-1)
+            aqq = jnp.sum(gq * gq, axis=-1)
+            apq = jnp.sum(gp * gq, axis=-1)
+            c, s = _rotation(app, aqq, apq)
+            c_ = c[..., None]
+            s_ = s[..., None]
+            g = g.at[p].set(c_ * gp - s_ * gq)
+            g = g.at[q].set(s_ * gp + c_ * gq)
+            if v is not None:
+                vp, vq = v[p], v[q]
+                v = v.at[p].set(c_ * vp - s_ * vq)
+                v = v.at[q].set(s_ * vp + c_ * vq)
+        return (g, v), None
+
+    (g, v), _ = jax.lax.scan(sweep, (g, v), None, length=sweeps)
+
+    s = jnp.sqrt(jnp.sum(g * g, axis=-1))           # [n, ...]
+    s_bn = jnp.moveaxis(s, 0, -1)                   # [..., n]
+
+    if not compute_uv and not sort_descending:
+        return s_bn
+    if not compute_uv:
+        return jnp.sort(s_bn, axis=-1)[..., ::-1]
+
+    # U columns = G columns / sigma (guard zero columns)
+    denom = jnp.where(s > 1e-30, s, 1.0)[..., None]
+    u = g / denom                                   # [n, ..., m]
+    u_b = jnp.moveaxis(u, 0, -1)                    # [..., m, n]
+    vt_b = jnp.moveaxis(v, 0, -2)                   # [..., n(row=col idx), n] -> Vt rows
+    # v[p] holds V's column p (as a vector over last axis) => stacking on -2
+    # gives Vt with row p = V[:, p]^T, i.e. exactly Vt.
+
+    if sort_descending:
+        order = jnp.argsort(-s_bn, axis=-1)         # [..., n]
+        s_bn = jnp.take_along_axis(s_bn, order, axis=-1)
+        u_b = jnp.take_along_axis(u_b, order[..., None, :], axis=-1)
+        vt_b = jnp.take_along_axis(vt_b, order[..., :, None], axis=-2)
+    return u_b, s_bn, vt_b
+
+
+def jacobi_singular_values(a: jax.Array, sweeps: int = 8) -> jax.Array:
+    """Values-only variant (detect path — no U/V accumulation, ~40 % cheaper;
+    SURVEY.md §3.3)."""
+    return jacobi_svd(a, sweeps=sweeps, compute_uv=False)

@@ -1,0 +1,113 @@
+"""Blocked (throughput-path) scheme tests: self-consistent round trips,
+batch behavior, and the path-based API with method='blocked'."""
+
+import numpy as np
+import pytest
+
+import oracle
+from dctsvd_tpu import api
+from dctsvd_tpu.models import blocked
+from dctsvd_tpu.utils import crypto
+
+import jax.numpy as jnp
+
+PW = "blockpw"
+
+
+def _setup(make_image, h=96, w=112):
+    cover = make_image(h, w)
+    wm = make_image(h, w, blur=False)
+    import cv2
+    wm_gray = cv2.cvtColor(wm, cv2.COLOR_BGR2GRAY)
+    key = crypto.derive_key(PW, bytes(range(8)))
+    idx = crypto.permutation_indices(key, h * w)
+    inv = crypto.inverse_permutation(idx)
+    return cover, wm, wm_gray, key, idx, inv
+
+
+def test_gray_embed_extract_detect(make_image):
+    cover, wm, wm_gray, key, idx, inv = _setup(make_image)
+    alpha = jnp.float32(0.12)
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
+                             jnp.asarray(idx), alpha)
+    stego = np.asarray(res.stego_bgr)
+    assert float(res.psnr) > 20
+
+    score = float(blocked.detect_gray(jnp.asarray(stego), res.sc, res.sw,
+                                      alpha))
+    assert score > 0.8
+
+    # clean host scores low
+    clean = float(blocked.detect_gray(jnp.asarray(cover), res.sc, res.sw,
+                                      alpha))
+    assert abs(clean) < 0.3
+
+    wm_out = np.asarray(blocked.extract_gray(
+        jnp.asarray(stego), res.sc, res.uw, res.vwt, jnp.asarray(inv),
+        alpha))
+    assert oracle.nc(wm_out, wm_gray) > 0.5
+
+
+def test_color_embed_detect(make_image):
+    cover, wm, _, key, idx, inv = _setup(make_image)
+    alpha = jnp.float32(0.12)
+    res = blocked.embed_color(jnp.asarray(cover), jnp.asarray(wm),
+                              jnp.asarray(idx), alpha)
+    assert float(res.psnr) > 20
+    score = float(blocked.detect_color(np.asarray(res.stego_bgr), res.sc,
+                                       res.sw, alpha))
+    assert score > 0.8
+    wm_out = np.asarray(blocked.extract_color(
+        np.asarray(res.stego_bgr), res.sc, res.uw, res.vwt,
+        jnp.asarray(inv), alpha))
+    assert oracle.nc(wm_out, wm) > 0.4
+
+
+def test_batched_frames(make_image):
+    """Leading batch dim — the video/throughput shape."""
+    cover, wm, wm_gray, key, idx, inv = _setup(make_image, 64, 64)
+    frames = np.stack([cover] * 3)
+    wms = np.stack([wm_gray] * 3)
+    alpha = jnp.float32(0.1)
+    res = blocked.embed_gray(jnp.asarray(frames), jnp.asarray(wms),
+                             jnp.asarray(idx), alpha)
+    assert res.stego_bgr.shape == (3, 64, 64, 3)
+    assert res.sc.shape == (3, 64, 8)
+    scores = np.asarray(blocked.detect_gray(res.stego_bgr, res.sc, res.sw,
+                                            alpha))
+    assert scores.shape == (3,)
+    assert (scores > 0.8).all()
+
+
+def test_odd_sizes_pad(make_image):
+    cover, wm, wm_gray, key, idx, inv = _setup(make_image, 67, 93)
+    alpha = jnp.float32(0.12)
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
+                             jnp.asarray(idx), alpha)
+    assert res.stego_bgr.shape == (67, 93, 3)
+    score = float(blocked.detect_gray(res.stego_bgr, res.sc, res.sw, alpha))
+    assert score > 0.7
+
+
+def test_api_blocked_roundtrip(tmp_path, make_image):
+    import cv2
+    cover = make_image(96, 96)
+    wm = make_image(40, 40, blur=False)
+    cp, wp = str(tmp_path / "c.png"), str(tmp_path / "w.png")
+    cv2.imwrite(cp, cover)
+    cv2.imwrite(wp, wm)
+    out, meta_p, ps, ss = api.embed(cp, wp, str(tmp_path / "s.png"),
+                                    str(tmp_path / "m.npz"), alpha=0.12,
+                                    password=PW, method="blocked")
+    assert ps > 20
+    found, score = api.detect(out, meta_p)
+    assert found and score > 0.8
+    wm_out = api.extract(out, meta_p, str(tmp_path / "x.png"), password=PW,
+                         enhance=False)
+    got = cv2.imread(wm_out, cv2.IMREAD_GRAYSCALE)
+    ref = cv2.cvtColor(cv2.resize(wm, (96, 96),
+                                  interpolation=cv2.INTER_AREA),
+                       cv2.COLOR_BGR2GRAY)
+    assert oracle.nc(got, ref) > 0.5
+    with pytest.raises(ValueError):
+        api.extract(out, meta_p, str(tmp_path / "y.png"), password="nope")

@@ -1,0 +1,136 @@
+"""Golden-parity tests: full embed→extract→detect round trips vs the
+reference-math oracle (SURVEY.md §4.1 tolerances: PSNR Δ ≤ 0.1 dB,
+SSIM Δ ≤ 0.001, detect score Δ ≤ 1e-3)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from dctsvd_tpu import api
+
+PW = "hunter2"
+NONCE = bytes(range(8))
+
+
+@pytest.fixture()
+def cover(make_image):
+    return make_image(128, 160)
+
+
+@pytest.fixture()
+def wm(make_image):
+    return make_image(48, 48, blur=False)
+
+
+def _paths(tmp_path, cover, wm):
+    import cv2
+    cp = str(tmp_path / "cover.png")
+    wp = str(tmp_path / "wm.png")
+    cv2.imwrite(cp, cover, [cv2.IMWRITE_PNG_COMPRESSION, 0])
+    cv2.imwrite(wp, wm, [cv2.IMWRITE_PNG_COMPRESSION, 0])
+    return cp, wp
+
+
+def test_gray_roundtrip_and_parity(tmp_path, cover, wm):
+    cp, wp = _paths(tmp_path, cover, wm)
+    out, meta_p, ps, ss = api.embed(
+        cp, wp, str(tmp_path / "stego.png"), str(tmp_path / "meta.npz"),
+        alpha=0.12, color=False, password=PW)
+
+    # quality parity vs oracle embed with the same nonce is impossible
+    # (nonce is random) — instead check against an oracle embed of our own
+    # key: scores must be in the same band
+    stego_o, meta_o, _ = oracle.embed_gray(cover, wm, 0.12, PW, NONCE)
+    ps_o = oracle.psnr(cover, stego_o)
+    assert abs(ps - ps_o) < 0.35  # different random permutations
+    assert ps > 20
+
+    # our detect on our stego
+    found, score = api.detect(out, meta_p)
+    assert found and score > 0.9
+
+    # oracle detect on our stego + our meta (cross-impl meta compat)
+    import cv2
+    stego_img = cv2.imread(out)
+    data = dict(np.load(meta_p, allow_pickle=False))
+    score_o = oracle.detect(stego_img, data)
+    assert abs(score - score_o) < 1e-3
+
+    # extract round trip (disable slow NLM-enhance; deterministic part)
+    wm_out = api.extract(out, meta_p, str(tmp_path / "wm_out.png"),
+                         password=PW, enhance=False)
+    got = cv2.imread(wm_out, cv2.IMREAD_GRAYSCALE)
+    wm_gray_ref = cv2.cvtColor(
+        cv2.resize(wm, (160, 128), interpolation=cv2.INTER_AREA),
+        cv2.COLOR_BGR2GRAY)
+    assert oracle.nc(got, wm_gray_ref) > 0.55
+
+
+def test_oracle_meta_extracts_with_our_impl(tmp_path, cover, wm):
+    """Reference-written meta + reference-made stego must round-trip
+    through OUR extract/detect (meta .npz compatibility)."""
+    import cv2
+    stego_o, meta_o, _ = oracle.embed_gray(cover, wm, 0.12, PW, NONCE)
+    sp = str(tmp_path / "stego_o.png")
+    mp = str(tmp_path / "meta_o.npz")
+    cv2.imwrite(sp, stego_o, [cv2.IMWRITE_PNG_COMPRESSION, 0])
+    np.savez_compressed(mp, **meta_o)
+
+    found, score = api.detect(sp, mp)
+    score_o = oracle.detect(stego_o, meta_o)
+    assert found
+    assert abs(score - score_o) < 1e-3
+
+    out = api.extract(sp, mp, str(tmp_path / "wm_o.png"), password=PW,
+                      enhance=False)
+    got = cv2.imread(out, cv2.IMREAD_GRAYSCALE)
+    raw_o = oracle.extract_gray_raw(stego_o, meta_o, PW)
+    assert oracle.nc(got, raw_o) > 0.98
+
+
+def test_color_roundtrip(tmp_path, cover, wm):
+    cp, wp = _paths(tmp_path, cover, wm)
+    out, meta_p, ps, ss = api.embed(
+        cp, wp, str(tmp_path / "stego.png"), str(tmp_path / "meta.npz"),
+        alpha=0.12, color=True, password=PW)
+    assert ps > 20
+    found, score = api.detect(out, meta_p)
+    assert found and score > 0.9
+
+    import cv2
+    stego_img = cv2.imread(out)
+    data = dict(np.load(meta_p, allow_pickle=False))
+    score_o = oracle.detect(stego_img, data)
+    assert abs(score - score_o) < 1e-3
+
+    wm_out = api.extract(out, meta_p, str(tmp_path / "wm_out.png"),
+                         password=PW, enhance=False)
+    got = cv2.imread(wm_out)
+    wm_ref = cv2.resize(wm, (160, 128), interpolation=cv2.INTER_AREA)
+    assert oracle.nc(got, wm_ref) > 0.5
+
+
+def test_wrong_password_rejected(tmp_path, cover, wm):
+    cp, wp = _paths(tmp_path, cover, wm)
+    out, meta_p, _, _ = api.embed(
+        cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+        alpha=0.12, password=PW)
+    with pytest.raises(ValueError):
+        api.extract(out, meta_p, str(tmp_path / "x.png"), password="wrong")
+
+
+def test_detect_clean_host_scores_zero(tmp_path, cover, wm):
+    cp, wp = _paths(tmp_path, cover, wm)
+    _, meta_p, _, _ = api.embed(
+        cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+        alpha=0.12, password=PW)
+    found, score = api.detect(cp, meta_p)  # the unwatermarked cover
+    assert not found
+    assert abs(score) < 0.35
+
+
+def test_missing_password_raises(tmp_path, cover, wm):
+    cp, wp = _paths(tmp_path, cover, wm)
+    with pytest.raises(ValueError):
+        api.embed(cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+                  password=None)

@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4.4). Verifies the sharded graphs compile, execute, and agree
+with their single-device counterparts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctsvd_tpu.models import blocked
+from dctsvd_tpu.parallel import batch as pbatch
+from dctsvd_tpu.parallel import mesh as mesh_lib
+from dctsvd_tpu.utils import crypto
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.make_mesh(8)
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.axis_names == (mesh_lib.BATCH_AXIS,)
+    assert mesh8.devices.size == 8
+
+
+def test_batch_detect_matches_single(mesh8, make_image):
+    h = w = 64
+    key = crypto.derive_key("pw", bytes(8))
+    idx = crypto.permutation_indices(key, h * w)
+    cover = make_image(h, w)
+    wm = make_image(h, w, blur=False)[..., 0]
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm),
+                             jnp.asarray(idx), jnp.float32(0.12))
+    stego = np.asarray(res.stego_bgr)
+    stegos = jnp.asarray(np.stack([stego] * 16))
+
+    scores = np.asarray(pbatch.batch_detect_blocked(
+        stegos, res.sc, res.sw, 0.12, mesh=mesh8))
+    assert scores.shape == (16,)
+    single = float(blocked.detect_gray(jnp.asarray(stego), res.sc, res.sw,
+                                       jnp.float32(0.12)))
+    np.testing.assert_allclose(scores, single, atol=1e-5)
+
+
+def test_batch_embed_sharded(mesh8, make_image):
+    h = w = 64
+    key = crypto.derive_key("pw", bytes(8))
+    idx = crypto.permutation_indices(key, h * w)
+    frames = jnp.asarray(np.stack([make_image(h, w) for _ in range(8)]))
+    wm = jnp.asarray(make_image(h, w, blur=False)[..., 0])
+
+    out = pbatch.batch_embed_blocked(frames, wm, jnp.asarray(idx), 0.12,
+                                     mesh=mesh8)
+    assert out["stego"].shape == (8, h, w, 3)
+    assert out["sc"].shape == (8, (h // 8) * (w // 8), 8)
+
+    # matches the unsharded graph
+    ref = blocked.embed_gray(frames, jnp.broadcast_to(wm, (8, h, w)),
+                             jnp.asarray(idx), jnp.float32(0.12))
+    np.testing.assert_array_equal(np.asarray(out["stego"]),
+                                  np.asarray(ref.stego_bgr))
