@@ -150,3 +150,83 @@ def detect(stego_path: str, meta_path: str,
                                     jnp.asarray(sw), alpha)
     score = float(score)
     return bool(score >= thresh), score
+
+
+def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
+                  alpha: float = 0.1, password: Optional[str] = None,
+                  kfrac: float = K_FRAC_DEFAULT,
+                  repeat: int = 8) -> Tuple[str, str, float, float]:
+    """Embed a text/JSON/bytes payload as a bit-plane watermark.
+
+    Implements the legacy core's intended text/JSON capability
+    (ref: dct_svd_core_secure.py:101-131; that module's own extract path is
+    broken — SURVEY.md §2.2). ``password=None`` is the legacy open mode (no
+    permutation, no HMAC); with a password the full secure pipeline applies.
+    ``repeat`` adds bit-level repetition coding for robustness.
+    """
+    from dctsvd_tpu.models import payload as m_payload
+
+    cover = image_io.read_bgr(cover_path)
+    h, w = cover.shape[:2]
+    data, ptype = m_payload.payload_to_bytes(payload)
+    plane = m_payload.bytes_to_bitplane(data, h, w, repeat=repeat)
+
+    if password:
+        nonce = crypto.make_nonce()
+        key = crypto.derive_key(password, nonce)
+        idx = crypto.permutation_indices(key, h * w)
+    else:
+        nonce = key = None
+        idx = np.arange(h * w)
+
+    res = m_image.embed_gray(jnp.asarray(cover), jnp.asarray(plane),
+                             jnp.asarray(idx), jnp.float32(alpha),
+                             kfrac=kfrac)
+    sc = np.asarray(res.sc)
+    uw = np.asarray(res.uw)
+    vwt = np.asarray(res.vwt)
+    digest = metaio.gray_digest(key, sc, uw, vwt) if key else None
+    out_path = metaio.default_stego_path(out_path)
+    image_io.write_png(out_path, to_numpy(res.stego_bgr))
+    metaio.save_gray_meta(meta_path, sc=sc, uw=uw, vwt=vwt,
+                          sw=np.asarray(res.sw), shape=(h, w), alpha=alpha,
+                          kfrac=kfrac, nonce=nonce, digest=digest,
+                          payload_type=ptype,
+                          extra={"repeat": int(repeat)})
+    return out_path, meta_path, float(res.psnr), float(res.ssim)
+
+
+def extract_payload(stego_path: str, meta_path: str,
+                    password: Optional[str] = None):
+    """Recover an embedded text/JSON/bytes payload
+    (the legacy core's intended extract-text path,
+    ref: dct_svd_core_secure.py:210-243)."""
+    from dctsvd_tpu.models import payload as m_payload
+
+    meta = metaio.load_meta(meta_path)
+    stego = image_io.read_bgr(stego_path)
+    h, w = meta.shape
+    repeat = int(meta.arrays.get("repeat", 1))
+
+    if meta.digest is not None:
+        crypto.require_password(password)
+        key = crypto.derive_key(password, meta.nonce)
+        expected = metaio.gray_digest(key, meta.arrays["Sc"],
+                                      meta.arrays["Uw"],
+                                      meta.arrays["Vwt"])
+        if not crypto.digests_equal(expected, meta.digest):
+            raise ValueError("Wrong password or corrupted meta "
+                             "(HMAC verification failed).")
+        idx = crypto.permutation_indices(key, h * w)
+        inv = crypto.inverse_permutation(idx)
+    else:
+        inv = np.arange(h * w)
+
+    plane = m_image.extract_gray(jnp.asarray(stego),
+                                 jnp.asarray(meta.arrays["Sc"]),
+                                 jnp.asarray(meta.arrays["Uw"]),
+                                 jnp.asarray(meta.arrays["Vwt"]),
+                                 jnp.asarray(inv), jnp.float32(meta.alpha),
+                                 kfrac=meta.kfrac, normalize=True)
+    data = m_payload.bitplane_to_bytes(to_numpy(plane), repeat=repeat)
+    return m_payload.bytes_to_payload(data, meta.payload_type)

@@ -1,0 +1,188 @@
+"""Command-line interface — the framework's replacement for the reference
+GUI (SURVEY.md §2.6: the Qt app's three tabs map to the embed/extract/detect
+subcommands; the video modules map to the video-* subcommands).
+
+Every flag maps 1:1 onto a reference kwarg (alpha, kfrac, color, password,
+thresh, frame-interval, font-size — ref: app_dct_svd_single.py:112-114,291,
+video_dct_svd.pyc l.57) plus the TPU-specific ``--method`` selector.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common_embed(p):
+    p.add_argument("--alpha", type=float, default=0.12,
+                   help="embedding strength (GUI default 0.12; "
+                        "recommended 0.10-0.18 gray, 0.15-0.22 color)")
+    p.add_argument("--kfrac", type=float, default=0.6)
+    p.add_argument("--password", required=False)
+    p.add_argument("--method", choices=["full", "blocked"], default="full",
+                   help="full = reference-parity whole-frame DCT+SVD; "
+                        "blocked = TPU throughput path (8x8 batched Jacobi)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="dctsvd-tpu",
+        description="TPU-native DCT-SVD image/video watermarking")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("embed", help="embed an image watermark")
+    p.add_argument("cover")
+    p.add_argument("watermark")
+    p.add_argument("--out", default="stego.png")
+    p.add_argument("--meta", default=None)
+    p.add_argument("--color", action="store_true",
+                   help="per-BGR-channel embed instead of Y-channel")
+    _add_common_embed(p)
+
+    p = sub.add_parser("extract", help="extract the watermark (password)")
+    p.add_argument("stego")
+    p.add_argument("meta")
+    p.add_argument("--out", default="wm.png")
+    p.add_argument("--password", required=True)
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--no-enhance", action="store_true",
+                   help="skip the NLM->CLAHE->unsharp chain")
+
+    p = sub.add_parser("detect", help="no-password NC detection")
+    p.add_argument("stego")
+    p.add_argument("meta")
+    p.add_argument("--thresh", type=float, default=0.6)
+
+    p = sub.add_parser("embed-payload", help="embed text/JSON payload")
+    p.add_argument("cover")
+    p.add_argument("payload", help="text, or @file.json for JSON")
+    p.add_argument("--out", default="stego.png")
+    p.add_argument("--meta", default=None)
+    p.add_argument("--repeat", type=int, default=8)
+    _add_common_embed(p)
+
+    p = sub.add_parser("extract-payload")
+    p.add_argument("stego")
+    p.add_argument("meta")
+    p.add_argument("--password")
+
+    p = sub.add_parser("video-embed", help="per-frame video embed")
+    p.add_argument("host")
+    p.add_argument("--watermark", help="watermark image path")
+    p.add_argument("--text", help="text watermark instead of an image")
+    p.add_argument("--out", default="marked.mp4")
+    p.add_argument("--meta", default=None)
+    p.add_argument("--alpha", type=float, default=0.05)
+    p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--font-size", type=int, default=40)
+    p.add_argument("--color", action="store_true")
+    p.add_argument("--audio", action="store_true",
+                   help="preserve audio via ffmpeg (graceful fallback)")
+
+    p = sub.add_parser("video-extract")
+    p.add_argument("video")
+    p.add_argument("meta")
+    p.add_argument("--out", default="wm.png")
+
+    p = sub.add_parser("video-detect")
+    p.add_argument("video")
+    p.add_argument("--sample-rate", type=int, default=30)
+
+    p = sub.add_parser("video-info")
+    p.add_argument("video")
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "embed":
+        from dctsvd_tpu import api
+        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        out, meta_p, ps, ss = api.embed(
+            args.cover, args.watermark, args.out, meta, alpha=args.alpha,
+            color=args.color, password=args.password, kfrac=args.kfrac,
+            method=args.method)
+        print(json.dumps({"stego": out, "meta": meta_p,
+                          "psnr": round(ps, 2), "ssim": round(ss, 4)}))
+    elif args.cmd == "extract":
+        from dctsvd_tpu import api
+        out = api.extract(args.stego, args.meta, args.out,
+                          password=args.password,
+                          normalize=not args.no_normalize,
+                          enhance=not args.no_enhance)
+        print(json.dumps({"watermark": out}))
+    elif args.cmd == "detect":
+        from dctsvd_tpu import api
+        found, score = api.detect(args.stego, args.meta, thresh=args.thresh)
+        print(json.dumps({"watermarked": found, "score": round(score, 4)}))
+        return 0 if found else 1
+    elif args.cmd == "embed-payload":
+        from dctsvd_tpu import api
+        payload = args.payload
+        if payload.startswith("@"):
+            with open(payload[1:]) as f:
+                payload = json.load(f)
+        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        out, meta_p, ps, ss = api.embed_payload(
+            args.cover, payload, args.out, meta, alpha=args.alpha,
+            password=args.password, kfrac=args.kfrac, repeat=args.repeat)
+        print(json.dumps({"stego": out, "meta": meta_p,
+                          "psnr": round(ps, 2)}))
+    elif args.cmd == "extract-payload":
+        from dctsvd_tpu import api
+        got = api.extract_payload(args.stego, args.meta,
+                                  password=args.password)
+        print(json.dumps({"payload": got}))
+    elif args.cmd == "video-embed":
+        from dctsvd_tpu.models import video as m_video
+        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        if args.text and args.audio:
+            m_video.embed_text_watermark_video_color_with_audio(
+                args.host, args.text, args.out, meta, alpha=args.alpha,
+                font_size=args.font_size,
+                frame_interval=args.frame_interval)
+        elif args.audio:
+            m_video.embed_watermark_video_color_with_audio(
+                args.host, args.watermark, args.out, meta,
+                alpha=args.alpha, frame_interval=args.frame_interval)
+        elif args.text and args.color:
+            m_video.embed_text_watermark_video_color(
+                args.host, args.text, args.out, meta, alpha=args.alpha,
+                font_size=args.font_size,
+                frame_interval=args.frame_interval)
+        elif args.text:
+            m_video.embed_text_watermark_video(
+                args.host, args.text, args.out, meta, alpha=args.alpha,
+                font_size=args.font_size,
+                frame_interval=args.frame_interval)
+        elif args.color:
+            m_video.embed_watermark_video_color(
+                args.host, args.watermark, args.out, meta,
+                alpha=args.alpha, frame_interval=args.frame_interval)
+        else:
+            m_video.embed_watermark_video(
+                args.host, args.watermark, args.out, meta,
+                alpha=args.alpha, frame_interval=args.frame_interval)
+        print(json.dumps({"video": args.out, "meta": meta}))
+    elif args.cmd == "video-extract":
+        from dctsvd_tpu.models import video as m_video
+        meta = m_video.extract_text_watermark_video(args.video, args.meta,
+                                                    args.out)
+        print(json.dumps({"watermark": args.out, "text": meta}))
+    elif args.cmd == "video-detect":
+        from dctsvd_tpu.models import video as m_video
+        stats = m_video.detect_watermark_video(
+            args.video, frame_sample_rate=args.sample_rate)
+        stats.pop("frame_statistics", None)
+        print(json.dumps(stats))
+    elif args.cmd == "video-info":
+        from dctsvd_tpu.io import video_io
+        print(json.dumps(video_io.get_video_info(args.video)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

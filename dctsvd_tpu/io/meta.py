@@ -45,15 +45,21 @@ def color_digest(key: bytes, s_bgr: np.ndarray, uw: np.ndarray,
 
 
 def save_gray_meta(path: str, *, sc, uw, vwt, sw, shape, alpha: float,
-                   kfrac: float, nonce: bytes, digest: bytes,
+                   kfrac: float, nonce: Optional[bytes],
+                   digest: Optional[bytes],
                    payload_type: str = "image",
                    extra: Optional[Dict] = None) -> str:
+    """nonce/digest None = password-less "open" mode (the legacy core's
+    behavior — its metas carry no nonce/digest keys,
+    ref: dct_svd_core_secure.py:128-129)."""
     kw = dict(mode=MODE_GRAY, payload_type=payload_type,
               Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
               shape=np.asarray(shape), alpha=float(alpha),
-              kfrac=float(kfrac),
-              nonce=np.frombuffer(nonce, dtype=np.uint8),
-              digest=np.frombuffer(digest, dtype=np.uint8))
+              kfrac=float(kfrac))
+    if nonce is not None:
+        kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
+    if digest is not None:
+        kw["digest"] = np.frombuffer(digest, dtype=np.uint8)
     if extra:
         kw.update(extra)
     np.savez_compressed(path, **kw)
@@ -158,3 +164,85 @@ def default_wm_path(out_path: str) -> str:
     if not out_path.lower().endswith(".png"):
         return os.path.splitext(out_path)[0] + "_wm.png"
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Video metas
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VideoMeta:
+    """Normalized video meta (ours or legacy reference-pickled format).
+
+    Reference format (ref: video_dct_svd.pyc l.167): uncompressed np.savez
+    with `watermark_frames` (list of ints), `original_singular_values`
+    (list of [L] arrays for gray, list of {'B','G','R'} dicts for color —
+    a pickled object array needing allow_pickle=True), `Uw, Sw, Vtw, alpha,
+    frame_interval, watermark_shape`, optional `text, font_size,
+    is_text_watermark, is_color`. Our writer keeps the same keys but stores
+    `original_singular_values` as a stacked [F, L] / [F, 3, L] float array —
+    no pickle — and the loader accepts both layouts.
+    """
+    frame_indices: np.ndarray        # [F] int
+    s_orig: np.ndarray               # [F, L] gray / [F, 3, L] color (B,G,R)
+    uw: np.ndarray                   # [H, L]
+    sw: np.ndarray                   # [L]
+    vtw: np.ndarray                  # [L, W]
+    alpha: float
+    frame_interval: int
+    watermark_shape: tuple
+    is_color: bool = False
+    is_text: bool = False
+    text: Optional[str] = None
+    font_size: Optional[int] = None
+    scheme: str = "full"             # 'full' (reference-parity) | 'blocked'
+
+
+def save_video_meta(path: str, m: VideoMeta) -> str:
+    kw = dict(watermark_frames=np.asarray(m.frame_indices, np.int64),
+              original_singular_values=np.asarray(m.s_orig),
+              Uw=m.uw, Sw=m.sw, Vtw=m.vtw, alpha=float(m.alpha),
+              frame_interval=int(m.frame_interval),
+              watermark_shape=np.asarray(m.watermark_shape),
+              is_color=bool(m.is_color),
+              is_text_watermark=bool(m.is_text),
+              scheme=m.scheme)
+    if m.text is not None:
+        kw["text"] = m.text
+        kw["font_size"] = int(m.font_size or 40)
+    np.savez(path, **kw)
+    return path
+
+
+def load_video_meta(path: str) -> VideoMeta:
+    data = np.load(path, allow_pickle=True)
+    keys = set(data.files)
+    sv = data["original_singular_values"]
+    is_color = bool(data["is_color"]) if "is_color" in keys else False
+    if sv.dtype == object:
+        # legacy pickled list: [L] arrays (gray) or {'B','G','R'} dicts
+        rows = list(sv)
+        if rows and isinstance(rows[0], dict):
+            s_orig = np.stack([np.stack([r["B"], r["G"], r["R"]])
+                               for r in rows])
+            is_color = True
+        else:
+            s_orig = np.stack(rows)
+    else:
+        s_orig = np.asarray(sv)
+    text = str(data["text"]) if "text" in keys else None
+    return VideoMeta(
+        frame_indices=np.asarray(data["watermark_frames"], np.int64),
+        s_orig=s_orig,
+        uw=np.asarray(data["Uw"]), sw=np.asarray(data["Sw"]),
+        vtw=np.asarray(data["Vtw"]),
+        alpha=float(data["alpha"]),
+        frame_interval=int(data["frame_interval"]),
+        watermark_shape=tuple(int(v) for v in data["watermark_shape"]),
+        is_color=is_color,
+        is_text=bool(data["is_text_watermark"])
+        if "is_text_watermark" in keys else False,
+        text=text,
+        font_size=int(data["font_size"]) if "font_size" in keys else None,
+        scheme=str(data["scheme"]) if "scheme" in keys else "full",
+    )
