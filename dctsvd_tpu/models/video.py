@@ -133,58 +133,81 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                       frame_interval: int, color: bool,
                       progress_every: int = 100,
                       progress: Optional[Callable[[int, int], None]] = None,
-                      temp_suffix: str = ""):
+                      temp_suffix: str = "", retries: int = 2,
+                      checkpoint_every: int = 64):
     """Shared embed loop. Writes to out_path+temp_suffix (the with-audio
-    variants remux afterwards)."""
+    variants remux afterwards).
+
+    Failure handling (SURVEY.md §5): each device dispatch retries up to
+    ``retries`` times (transient device/tunnel failures), and the meta
+    checkpoints to ``meta_path`` every ``checkpoint_every`` marked frames —
+    metas store absolute frame indices, so a partially-written output is
+    already extractable up to the last flushed chunk, and a rerun is
+    deterministic (same watermark SVD, same frames).
+    """
+    from dctsvd_tpu.utils.profiling import Throughput, logger
+
     uw_d, sw_d, vtw_d = _wm_svd(jnp.asarray(wm_plane))
     alpha_d = jnp.float32(alpha)
 
     write_path = out_path + temp_suffix
     frame_indices = []
     s_list = []
+    tp = Throughput(name="video-embed frames", log_every=0)
+
+    def _checkpoint():
+        meta = metaio.VideoMeta(
+            frame_indices=np.asarray(frame_indices, np.int64),
+            s_orig=np.stack(s_list) if s_list else
+            np.zeros((0, 0), np.float32),
+            uw=to_numpy(uw_d), sw=to_numpy(sw_d), vtw=to_numpy(vtw_d),
+            alpha=alpha, frame_interval=frame_interval,
+            watermark_shape=wm_plane.shape, is_color=color)
+        metaio.save_video_meta(meta_path, meta)
+        return meta
+
+    def _dispatch(frame):
+        last_err = None
+        for _ in range(retries + 1):
+            try:
+                if color:
+                    chans = jnp.asarray(
+                        np.moveaxis(frame.astype(np.float32), -1, 0))
+                    marked, s_orig = _embed_frame_color(chans, sw_d, alpha_d)
+                else:
+                    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                    marked, s_orig = _embed_frame_gray(
+                        jnp.asarray(gray, jnp.float32), sw_d, alpha_d)
+                return to_numpy(marked), to_numpy(s_orig)
+            except Exception as e:  # transient device failure -> retry
+                last_err = e
+                logger.warning("frame dispatch failed (%s), retrying", e)
+        raise last_err
+
     with video_io.VideoReader(host_path) as reader:
         with video_io.VideoWriter(write_path, reader.fps, reader.width,
                                   reader.height) as writer:
-            pending = []   # (index, device future(s)) keeps dispatch async
-            def flush():
-                while pending:
-                    i, fut = pending.pop(0)
-                    marked, s_orig = fut
-                    if color:
-                        s_list.append(to_numpy(s_orig))
-                        bgr = np.moveaxis(to_numpy(marked), 0, -1)
-                        writer.write(np.ascontiguousarray(bgr))
-                    else:
-                        s_list.append(to_numpy(s_orig))
-                        g = to_numpy(marked)
-                        writer.write(cv2.cvtColor(g, cv2.COLOR_GRAY2BGR))
-
             for idx, frame in enumerate(reader):
                 if idx % frame_interval == 0:
-                    if color:
-                        chans = jnp.asarray(
-                            np.moveaxis(frame.astype(np.float32), -1, 0))
-                        fut = _embed_frame_color(chans, sw_d, alpha_d)
-                    else:
-                        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-                        fut = _embed_frame_gray(
-                            jnp.asarray(gray, jnp.float32), sw_d, alpha_d)
+                    marked, s_orig = _dispatch(frame)
+                    s_list.append(s_orig)
                     frame_indices.append(idx)
-                    pending.append((idx, fut))
-                    flush()
+                    if color:
+                        bgr = np.moveaxis(marked, 0, -1)
+                        writer.write(np.ascontiguousarray(bgr))
+                    else:
+                        writer.write(cv2.cvtColor(marked,
+                                                  cv2.COLOR_GRAY2BGR))
+                    tp.add()
+                    if len(frame_indices) % checkpoint_every == 0:
+                        _checkpoint()
                 else:
                     writer.write(frame)
                 if progress and idx % progress_every == 0:
                     progress(idx, reader.total_frames)
-            flush()
 
-    s_orig = np.stack(s_list) if s_list else np.zeros((0, 0), np.float32)
-    meta = metaio.VideoMeta(
-        frame_indices=np.asarray(frame_indices, np.int64),
-        s_orig=s_orig, uw=to_numpy(uw_d), sw=to_numpy(sw_d),
-        vtw=to_numpy(vtw_d), alpha=alpha, frame_interval=frame_interval,
-        watermark_shape=wm_plane.shape, is_color=color)
-    return write_path, metaio.save_video_meta(meta_path, meta), meta
+    meta = _checkpoint()
+    return write_path, meta_path, meta
 
 
 def embed_watermark_video(host_path: str, wm_path: str, out_path: str,

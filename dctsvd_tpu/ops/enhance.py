@@ -109,10 +109,18 @@ def clahe_u8(img_u8: jax.Array, tiles: int = 8,
     limit = jnp.maximum(jnp.floor(clip_limit * area / 256.0), 1.0)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
     hist = jnp.minimum(hist, limit)
-    # cv2 redistributes excess/256 to every bin, then +1 to every step-th
-    # bin for the residual; uniform redistribution is within ±1 count of
-    # that and indistinguishable after the 255/area LUT scaling.
-    hist = hist + excess / 256.0
+    # cv2's exact redistribution: excess//256 to every bin, then +1 to bins
+    # 0, step, 2*step, ... (step = max(256//residual, 1)) until the residual
+    # is used up. A uniform float spread looks close per-bin but drifts the
+    # *cumulative* histogram by up to the residual (≤255 counts ≈ 63 gray
+    # levels after LUT scaling), so the stepped form matters.
+    batch = jnp.floor(excess / 256.0)
+    resid = excess - batch * 256.0                       # [T, 1], < 256
+    hist = hist + batch
+    b = jnp.arange(256, dtype=jnp.float32)[None, :]
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(resid, 1.0)), 1.0)
+    hit = (jnp.mod(b, step) == 0) & (jnp.floor(b / step) < resid)
+    hist = hist + hit.astype(hist.dtype)
 
     cdf = jnp.cumsum(hist, axis=-1)
     lut = jnp.clip(jnp.round(cdf * (255.0 / area)), 0, 255)  # [T, 256]
