@@ -19,7 +19,8 @@ def test_bitplane_too_large():
         m_payload.bytes_to_bitplane(b"x" * 10000, 32, 32)
 
 
-def test_majority_vote_corrects_errors(rng):
+def test_majority_vote_corrects_errors():
+    rng = np.random.default_rng(42)
     data = b"hello world"
     plane = m_payload.bytes_to_bitplane(data, 64, 64, repeat=5).astype(int)
     # flip ~10% of used pixels
