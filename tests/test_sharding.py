@@ -56,8 +56,11 @@ def test_batch_embed_sharded(mesh8, make_image):
     assert out["stego"].shape == (8, h, w, 3)
     assert out["sc"].shape == (8, (h // 8) * (w // 8), 8)
 
-    # matches the unsharded graph
+    # matches the unsharded graph (different broadcast/fusion paths may
+    # differ by 1 ulp at u8 clip boundaries)
     ref = blocked.embed_gray(frames, jnp.broadcast_to(wm, (8, h, w)),
                              jnp.asarray(idx), jnp.float32(0.12))
-    np.testing.assert_array_equal(np.asarray(out["stego"]),
-                                  np.asarray(ref.stego_bgr))
+    diff = np.abs(np.asarray(out["stego"], np.int32)
+                  - np.asarray(ref.stego_bgr, np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
