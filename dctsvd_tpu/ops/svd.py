@@ -62,30 +62,54 @@ def _rotation(app: jax.Array, aqq: jax.Array, apq: jax.Array):
     return c, s
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "compute_uv",
-                                             "sort_descending"))
 def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
-               sort_descending: bool = True):
+               sort_descending: bool = True, impl: str = "auto"):
     """Batched one-sided Jacobi SVD of [..., m, n] with m >= n small (≤ 32).
 
     Returns (U [..., m, n], S [..., n], Vt [..., n, n]) with S >= 0 sorted
     descending, or just S when ``compute_uv=False``.
 
+    ``impl``: 'pallas' (VMEM-resident TPU kernel, ops/svd_pallas.py),
+    'xla' (portable formulation below), or 'auto' (pallas on TPU backends,
+    xla elsewhere; override with env DCTSVD_SVD_IMPL).
+
     Accuracy: ~1e-6 relative on singular values of random 8×8 f32 after 8
     sweeps (tests/test_svd.py). Fixed sweep count -> fully static graph.
     """
+    import os
+    if impl == "auto":
+        impl = os.environ.get("DCTSVD_SVD_IMPL", "")
+    if not impl or impl == "auto":
+        impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "xla")
+    if impl == "pallas" and sort_descending:
+        from dctsvd_tpu.ops.svd_pallas import jacobi_svd_pallas
+        return jacobi_svd_pallas(a, sweeps=sweeps, compute_uv=compute_uv)
+    return _jacobi_svd_xla(a, sweeps=sweeps, compute_uv=compute_uv,
+                           sort_descending=sort_descending)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "compute_uv",
+                                             "sort_descending"))
+def _jacobi_svd_xla(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
+                    sort_descending: bool = True):
+    """Portable XLA formulation (CPU tests, non-TPU backends)."""
     *batch, m, n = a.shape
     if n > m:
         raise ValueError("jacobi_svd requires m >= n (pass a transposed).")
     dtype = a.dtype
+    bsz = 1
+    for d in batch:
+        bsz *= d
 
-    # Column stack layout: G[p] is column p across the whole batch, [n, B, m]
-    g = jnp.moveaxis(a, -1, 0)                      # [n, ..., m]
+    # Layout [n, m, B]: the batch lives on the lane axis so every column op
+    # is a [m, B] elementwise tile with full 128-lane utilization; column
+    # index n is the leading axis so g[p] is a static slice.
+    g = jnp.transpose(a.reshape(bsz, m, n), (2, 1, 0))   # [n, m, B]
     if compute_uv:
-        eye = jnp.eye(n, dtype=dtype)
-        v = jnp.broadcast_to(eye.reshape((n,) + (1,) * len(batch) + (n,)),
-                             (n,) + tuple(batch) + (n,))
-        v = jnp.array(v)
+        v = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None],
+                             (n, n, bsz))
+        v = jnp.array(v)                             # [n(col), n(row), B]
     else:
         v = None
 
@@ -94,25 +118,23 @@ def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
     def sweep(carry, _):
         g, v = carry
         for p, q in pairs:
-            gp, gq = g[p], g[q]
-            app = jnp.sum(gp * gp, axis=-1)
-            aqq = jnp.sum(gq * gq, axis=-1)
-            apq = jnp.sum(gp * gq, axis=-1)
-            c, s = _rotation(app, aqq, apq)
-            c_ = c[..., None]
-            s_ = s[..., None]
-            g = g.at[p].set(c_ * gp - s_ * gq)
-            g = g.at[q].set(s_ * gp + c_ * gq)
+            gp, gq = g[p], g[q]                      # [m, B]
+            app = jnp.sum(gp * gp, axis=0)           # [B]
+            aqq = jnp.sum(gq * gq, axis=0)
+            apq = jnp.sum(gp * gq, axis=0)
+            c, s = _rotation(app, aqq, apq)          # [B]
+            g = g.at[p].set(c * gp - s * gq)
+            g = g.at[q].set(s * gp + c * gq)
             if v is not None:
                 vp, vq = v[p], v[q]
-                v = v.at[p].set(c_ * vp - s_ * vq)
-                v = v.at[q].set(s_ * vp + c_ * vq)
+                v = v.at[p].set(c * vp - s * vq)
+                v = v.at[q].set(s * vp + c * vq)
         return (g, v), None
 
     (g, v), _ = jax.lax.scan(sweep, (g, v), None, length=sweeps)
 
-    s = jnp.sqrt(jnp.sum(g * g, axis=-1))           # [n, ...]
-    s_bn = jnp.moveaxis(s, 0, -1)                   # [..., n]
+    s = jnp.sqrt(jnp.sum(g * g, axis=1))            # [n, B]
+    s_bn = jnp.moveaxis(s, 0, -1).reshape(*batch, n)
 
     if not compute_uv and not sort_descending:
         return s_bn
@@ -120,12 +142,12 @@ def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
         return jnp.sort(s_bn, axis=-1)[..., ::-1]
 
     # U columns = G columns / sigma (guard zero columns)
-    denom = jnp.where(s > 1e-30, s, 1.0)[..., None]
-    u = g / denom                                   # [n, ..., m]
-    u_b = jnp.moveaxis(u, 0, -1)                    # [..., m, n]
-    vt_b = jnp.moveaxis(v, 0, -2)                   # [..., n(row=col idx), n] -> Vt rows
-    # v[p] holds V's column p (as a vector over last axis) => stacking on -2
-    # gives Vt with row p = V[:, p]^T, i.e. exactly Vt.
+    denom = jnp.where(s > 1e-30, s, 1.0)[:, None, :]
+    u = g / denom                                   # [n, m, B]
+    u_b = jnp.transpose(u, (2, 1, 0)).reshape(*batch, m, n)
+    # v[p] holds V's column p => transposing (col, row, B) -> (B, col, row)
+    # yields exactly Vt (row p of Vt = column p of V).
+    vt_b = jnp.transpose(v, (2, 0, 1)).reshape(*batch, n, n)
 
     if sort_descending:
         order = jnp.argsort(-s_bn, axis=-1)         # [..., n]

@@ -55,3 +55,27 @@ def test_svd_full_wrapper(rng):
     np.testing.assert_allclose(rec, a, atol=1e-4)
     s_only = np.asarray(svd.svd_full(a, compute_uv=False))
     np.testing.assert_allclose(s_only, np.asarray(s), rtol=1e-5)
+
+
+def test_pallas_kernel_matches_xla(rng):
+    """The Pallas Jacobi (interpret mode on CPU) must agree with the XLA
+    formulation and LAPACK."""
+    from dctsvd_tpu.ops.svd_pallas import jacobi_svd_pallas
+    a = rng.normal(size=(200, 8, 8)).astype(np.float32) * 3
+    u, s, vt = jacobi_svd_pallas(a, interpret=True, tile=128)
+    rec = np.einsum("nij,nj,njk->nik", np.asarray(u), np.asarray(s),
+                    np.asarray(vt))
+    np.testing.assert_allclose(rec, a, atol=2e-4)
+    s_ref = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=2e-5, atol=1e-4)
+    s_only = jacobi_svd_pallas(a, compute_uv=False, interpret=True,
+                               tile=128)
+    np.testing.assert_allclose(np.asarray(s_only), s_ref, rtol=2e-5,
+                               atol=1e-4)
+
+
+def test_jacobi_impl_dispatch(rng):
+    a = rng.normal(size=(10, 8, 8)).astype(np.float32)
+    s_x = np.asarray(svd.jacobi_svd(a, compute_uv=False, impl="xla"))
+    s_ref = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(s_x, s_ref, rtol=2e-5, atol=1e-4)
