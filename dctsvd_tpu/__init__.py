@@ -18,5 +18,33 @@ Two numerical paths, one API:
 
 __version__ = "0.1.0"
 
-from dctsvd_tpu.api import embed, extract, detect  # noqa: F401
-from dctsvd_tpu.utils.config import WatermarkConfig  # noqa: F401
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The whole-frame Jacobi SVD graph takes minutes to compile on TPU; without
+    a persistent cache every fresh CLI/GUI process pays that again. Opt out
+    with ``DCTSVD_TPU_NO_CACHE=1``; relocate with ``DCTSVD_TPU_CACHE_DIR``.
+    """
+    import os
+
+    if os.environ.get("DCTSVD_TPU_NO_CACHE"):
+        return
+    cache_dir = os.environ.get("DCTSVD_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dctsvd_tpu", "jax")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache even sub-second compiles: with a remote-attached TPU every
+        # eager op dispatch pays tunnel latency, so a fresh process replays
+        # dozens of ~0.5 s mini-compiles unless they're cached too.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # never make import fail over a cache knob
+        pass
+
+
+_setup_compilation_cache()
+
+from dctsvd_tpu.api import embed, extract, detect  # noqa: E402,F401
+from dctsvd_tpu.utils.config import WatermarkConfig  # noqa: E402,F401
