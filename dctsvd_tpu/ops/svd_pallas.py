@@ -9,10 +9,12 @@ one write per tile, the rotations are VPU work on [8, TILE] slices with the
 batch on lanes, and the final ordering is a Batcher sorting network (19
 compare-exchanges) instead of a generic sort.
 
-Layouts (column-stack): g[p] = column p of every block in the tile, shape
-[8, TILE]; same for the accumulated V. Callers pass/receive standard
-[..., 8, 8] tensors; the [N, 8, 8] <-> [8, 8, N] transposes happen in XLA
-outside the kernel where they fuse with the neighbouring DCT einsums.
+Implementation note: columns are carried as PYTHON LISTS of [m, TILE]
+values, never stacked-and-indexed — ``x.at[i].set`` on a value lowers to a
+``scatter``, which Pallas TPU cannot lower (verified on hardware); list
+reassignment is pure SSA and costs nothing. The [N, 8, 8] <-> [8·8, N]
+transposes happen in XLA outside the kernel where they fuse with the
+neighbouring DCT einsums.
 """
 
 from __future__ import annotations
@@ -35,11 +37,8 @@ _SORT_NET = [(0, 1), (2, 3), (4, 5), (6, 7),
              (1, 2), (3, 4), (5, 6)]
 
 
-def _rotate_pair(g, v, p, q, compute_uv):
-    gp, gq = g[p], g[q]                          # [m, TILE]
-    app = jnp.sum(gp * gp, axis=0)               # [TILE]
-    aqq = jnp.sum(gq * gq, axis=0)
-    apq = jnp.sum(gp * gq, axis=0)
+def _rotation(app, aqq, apq):
+    """Stable Jacobi rotation (c, s); all inputs [TILE]."""
     denom = 2.0 * apq
     safe = jnp.abs(denom) > 1e-30
     zeta = jnp.where(safe, (aqq - app) / jnp.where(safe, denom, 1.0), 0.0)
@@ -48,13 +47,7 @@ def _rotate_pair(g, v, p, q, compute_uv):
     t = jnp.where(safe, t, 0.0)
     c = jax.lax.rsqrt(1.0 + t * t)
     s = c * t
-    g = g.at[p].set(c * gp - s * gq)
-    g = g.at[q].set(s * gp + c * gq)
-    if compute_uv:
-        vp, vq = v[p], v[q]
-        v = v.at[p].set(c * vp - s * vq)
-        v = v.at[q].set(s * vp + c * vq)
-    return g, v
+    return c, s
 
 
 def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
@@ -65,54 +58,80 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
             g_ref, u_ref, s_ref, vt_ref = refs
         else:
             g_ref, s_ref = refs
-        g = g_ref[:]                              # [n, m, TILE]
-        v = None
+        tile = g_ref.shape[-1]
+        dtype = g_ref.dtype
+
+        # columns as lists — scatter-free SSA updates
+        g = [g_ref[i] for i in range(n)]                 # n × [m, TILE]
         if compute_uv:
-            v = jnp.eye(n, dtype=g.dtype)[:, :, None] * jnp.ones(
-                (1, 1, g.shape[2]), g.dtype)
+            v = []
+            for i in range(n):
+                col = jnp.zeros((n, tile), dtype)
+                col = col + (jnp.arange(n, dtype=jnp.int32)[:, None] == i
+                             ).astype(dtype)
+                v.append(col)                            # n × [n, TILE]
+        else:
+            v = None
 
         def sweep(_, carry):
-            g, v = carry
+            if compute_uv:
+                g, v = carry
+            else:
+                g, v = carry, None
+            g = list(g)
+            v = list(v) if v is not None else None
             for p, q in pairs:
-                g, v = _rotate_pair(g, v, p, q, compute_uv)
-            return g, v
+                gp, gq = g[p], g[q]                      # [m, TILE]
+                app = jnp.sum(gp * gp, axis=0)           # [TILE]
+                aqq = jnp.sum(gq * gq, axis=0)
+                apq = jnp.sum(gp * gq, axis=0)
+                c, s = _rotation(app, aqq, apq)
+                g[p] = c * gp - s * gq
+                g[q] = s * gp + c * gq
+                if v is not None:
+                    vp, vq = v[p], v[q]
+                    v[p] = c * vp - s * vq
+                    v[q] = s * vp + c * vq
+            if compute_uv:
+                return tuple(g), tuple(v)
+            return tuple(g)
 
         if compute_uv:
-            g, v = jax.lax.fori_loop(0, sweeps, sweep, (g, v))
+            g, v = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(v)))
+            g, v = list(g), list(v)
         else:
-            def sweep_g(_, g):
-                g2, _ = sweep(None, (g, None))
-                return g2
-            g = jax.lax.fori_loop(0, sweeps, sweep_g, g)
+            g = list(jax.lax.fori_loop(0, sweeps, sweep, tuple(g)))
 
-        s = jnp.sqrt(jnp.sum(g * g, axis=1))      # [n, TILE]
+        s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=0)) for i in range(n)]
 
-        # descending sort via the Batcher network; swap singular values and
-        # (for the full variant) the matching U columns / V columns
+        # descending order via the Batcher network; swap singular values and
+        # (for the full variant) the matching U/V columns — all list ops.
         if compute_uv:
-            denom = jnp.where(s > 1e-30, s, 1.0)[:, None, :]
-            u = g / denom
+            u = []
+            for i in range(n):
+                denom = jnp.maximum(s[i], 1e-30)
+                u.append(g[i] / denom[None, :])
             for i, j in _SORT_NET:
-                swap = s[i] < s[j]                # [TILE]
+                swap = s[i] < s[j]                       # [TILE]
                 si, sj = s[i], s[j]
-                s = s.at[i].set(jnp.where(swap, sj, si))
-                s = s.at[j].set(jnp.where(swap, si, sj))
+                s[i] = jnp.where(swap, sj, si)
+                s[j] = jnp.where(swap, si, sj)
                 ui, uj = u[i], u[j]
-                u = u.at[i].set(jnp.where(swap, uj, ui))
-                u = u.at[j].set(jnp.where(swap, ui, uj))
+                u[i] = jnp.where(swap[None, :], uj, ui)
+                u[j] = jnp.where(swap[None, :], ui, uj)
                 vi, vj = v[i], v[j]
-                v = v.at[i].set(jnp.where(swap, vj, vi))
-                v = v.at[j].set(jnp.where(swap, vi, vj))
-            u_ref[:] = u
-            s_ref[:] = s
-            vt_ref[:] = v
+                v[i] = jnp.where(swap[None, :], vj, vi)
+                v[j] = jnp.where(swap[None, :], vi, vj)
+            u_ref[:] = jnp.stack(u, axis=0)              # [n, m, TILE]
+            s_ref[:] = jnp.stack(s, axis=0)              # [n, TILE]
+            vt_ref[:] = jnp.stack(v, axis=0)             # [n, n, TILE]
         else:
             for i, j in _SORT_NET:
                 swap = s[i] < s[j]
                 si, sj = s[i], s[j]
-                s = s.at[i].set(jnp.where(swap, sj, si))
-                s = s.at[j].set(jnp.where(swap, si, sj))
-            s_ref[:] = s
+                s[i] = jnp.where(swap, sj, si)
+                s[j] = jnp.where(swap, si, sj)
+            s_ref[:] = jnp.stack(s, axis=0)
 
     return kernel
 

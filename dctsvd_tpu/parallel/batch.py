@@ -62,18 +62,19 @@ def batch_detect_full(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
 
 
 def batch_embed_blocked(frames: jax.Array, wm_gray: jax.Array,
-                        perm_idx: jax.Array, alpha, kfrac: float = 0.6,
-                        mesh: Optional[Mesh] = None):
+                        blk_idx: jax.Array, intra_idx: jax.Array, alpha,
+                        kfrac: float = 0.6, mesh: Optional[Mesh] = None):
     """Sharded blocked embed over a frame batch [B, H, W, 3]; the watermark
-    plane and permutation replicate. Returns stego batch + per-frame meta
-    arrays, all sharded over 'batch'."""
+    plane and permutation indices replicate. Returns stego batch + per-frame
+    meta arrays, all sharded over 'batch'."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     bs = mesh_lib.batch_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
 
-    def body(fr, wm, idx, a):
-        r = blocked.embed_gray.__wrapped__(fr, wm, idx, a, kfrac=kfrac)
+    def body(fr, wm, blk, intra, a):
+        r = blocked.embed_gray.__wrapped__(fr, wm, blk, intra, a,
+                                           kfrac=kfrac)
         # per-frame arrays shard over 'batch'; the shared watermark basis
         # and the scalar quality metrics replicate
         return {"stego": r.stego_bgr, "sc": r.sc,
@@ -82,6 +83,6 @@ def batch_embed_blocked(frames: jax.Array, wm_gray: jax.Array,
 
     out_sh = {"stego": bs, "sc": bs, "uw": rep, "vwt": rep, "sw": rep,
               "psnr": rep, "ssim": rep}
-    jitted = jax.jit(body, in_shardings=(bs, rep, rep, rep),
+    jitted = jax.jit(body, in_shardings=(bs, rep, rep, rep, rep),
                      out_shardings=out_sh)
-    return jitted(frames, wm_gray, perm_idx, jnp.float32(alpha))
+    return jitted(frames, wm_gray, blk_idx, intra_idx, jnp.float32(alpha))

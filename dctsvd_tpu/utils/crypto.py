@@ -51,6 +51,24 @@ def permutation_indices(key: bytes, n: int) -> np.ndarray:
     return idx
 
 
+def block_permutation_indices(key: bytes, n_blocks: int,
+                              block_elems: int = 64):
+    """Keyed permutation pair for the blocked (8×8) scheme: a shuffle of the
+    ``n_blocks`` block slots plus one shared shuffle of the ``block_elems``
+    pixels inside every block. Drawn from the same PCG64 stream as the
+    reference's plane shuffle (block order first, then intra order), so both
+    are re-derivable from (password, nonce) alone — nothing extra persists
+    in the meta. Returns ``(blk_idx, intra_idx)`` with
+    ``permuted[i] = natural[blk_idx[i]]``.
+    """
+    rng = rng_from_key(key)
+    blk = np.arange(n_blocks)
+    rng.shuffle(blk)
+    intra = np.arange(block_elems)
+    rng.shuffle(intra)
+    return blk, intra
+
+
 def inverse_permutation(idx: np.ndarray) -> np.ndarray:
     """inv such that ``flat = scrambled_flat[inv]``
     (ref: app_dct_svd_single.py:74-80 builds inv[idx]=arange and gathers by

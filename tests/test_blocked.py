@@ -20,16 +20,20 @@ def _setup(make_image, h=96, w=112):
     import cv2
     wm_gray = cv2.cvtColor(wm, cv2.COLOR_BGR2GRAY)
     key = crypto.derive_key(PW, bytes(range(8)))
-    idx = crypto.permutation_indices(key, h * w)
-    inv = crypto.inverse_permutation(idx)
-    return cover, wm, wm_gray, key, idx, inv
+    blk, intra = crypto.block_permutation_indices(key,
+                                                  blocked.n_blocks_of(h, w))
+    inv_blk = crypto.inverse_permutation(blk)
+    inv_intra = crypto.inverse_permutation(intra)
+    idxs = (jnp.asarray(blk), jnp.asarray(intra))
+    invs = (jnp.asarray(inv_blk), jnp.asarray(inv_intra))
+    return cover, wm, wm_gray, key, idxs, invs
 
 
 def test_gray_embed_extract_detect(make_image):
-    cover, wm, wm_gray, key, idx, inv = _setup(make_image)
+    cover, wm, wm_gray, key, (blk, intra), (iblk, iintra) = _setup(make_image)
     alpha = jnp.float32(0.12)
     res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
-                             jnp.asarray(idx), alpha)
+                             blk, intra, alpha)
     stego = np.asarray(res.stego_bgr)
     assert float(res.psnr) > 20
 
@@ -43,34 +47,48 @@ def test_gray_embed_extract_detect(make_image):
     assert abs(clean) < 0.3
 
     wm_out = np.asarray(blocked.extract_gray(
-        jnp.asarray(stego), res.sc, res.uw, res.vwt, jnp.asarray(inv),
-        alpha))
+        jnp.asarray(stego), res.sc, res.uw, res.vwt, iblk, iintra, alpha))
     assert oracle.nc(wm_out, wm_gray) > 0.5
 
 
 def test_color_embed_detect(make_image):
-    cover, wm, _, key, idx, inv = _setup(make_image)
+    cover, wm, _, key, (blk, intra), (iblk, iintra) = _setup(make_image)
     alpha = jnp.float32(0.12)
     res = blocked.embed_color(jnp.asarray(cover), jnp.asarray(wm),
-                              jnp.asarray(idx), alpha)
+                              blk, intra, alpha)
     assert float(res.psnr) > 20
     score = float(blocked.detect_color(np.asarray(res.stego_bgr), res.sc,
                                        res.sw, alpha))
     assert score > 0.8
     wm_out = np.asarray(blocked.extract_color(
         np.asarray(res.stego_bgr), res.sc, res.uw, res.vwt,
-        jnp.asarray(inv), alpha))
+        iblk, iintra, alpha))
     assert oracle.nc(wm_out, wm) > 0.4
+
+
+def test_prepared_matches_convenience(make_image):
+    """prepare + embed_prepared must equal the one-shot embed."""
+    cover, wm, wm_gray, key, (blk, intra), _ = _setup(make_image, 64, 64)
+    alpha = jnp.float32(0.12)
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
+                             blk, intra, alpha)
+    pw = blocked.prepare_wm_gray(jnp.asarray(wm_gray), blk, intra)
+    stego2, sc2, _, _ = blocked.embed_gray_prepared(jnp.asarray(cover),
+                                                    pw.sw, alpha)
+    np.testing.assert_array_equal(np.asarray(res.stego_bgr),
+                                  np.asarray(stego2))
+    np.testing.assert_allclose(np.asarray(res.sc), np.asarray(sc2))
+    np.testing.assert_allclose(np.asarray(res.uw), np.asarray(pw.uw))
 
 
 def test_batched_frames(make_image):
     """Leading batch dim — the video/throughput shape."""
-    cover, wm, wm_gray, key, idx, inv = _setup(make_image, 64, 64)
+    cover, wm, wm_gray, key, (blk, intra), invs = _setup(make_image, 64, 64)
     frames = np.stack([cover] * 3)
     wms = np.stack([wm_gray] * 3)
     alpha = jnp.float32(0.1)
     res = blocked.embed_gray(jnp.asarray(frames), jnp.asarray(wms),
-                             jnp.asarray(idx), alpha)
+                             blk, intra, alpha)
     assert res.stego_bgr.shape == (3, 64, 64, 3)
     assert res.sc.shape == (3, 64, 8)
     scores = np.asarray(blocked.detect_gray(res.stego_bgr, res.sc, res.sw,
@@ -80,10 +98,10 @@ def test_batched_frames(make_image):
 
 
 def test_odd_sizes_pad(make_image):
-    cover, wm, wm_gray, key, idx, inv = _setup(make_image, 67, 93)
+    cover, wm, wm_gray, key, (blk, intra), invs = _setup(make_image, 67, 93)
     alpha = jnp.float32(0.12)
     res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
-                             jnp.asarray(idx), alpha)
+                             blk, intra, alpha)
     assert res.stego_bgr.shape == (67, 93, 3)
     score = float(blocked.detect_gray(res.stego_bgr, res.sc, res.sw, alpha))
     assert score > 0.7

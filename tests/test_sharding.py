@@ -25,14 +25,20 @@ def test_mesh_shapes(mesh8):
     assert mesh8.devices.size == 8
 
 
+def _indices(key, h, w):
+    blk, intra = crypto.block_permutation_indices(key,
+                                                  blocked.n_blocks_of(h, w))
+    return jnp.asarray(blk), jnp.asarray(intra)
+
+
 def test_batch_detect_matches_single(mesh8, make_image):
     h = w = 64
     key = crypto.derive_key("pw", bytes(8))
-    idx = crypto.permutation_indices(key, h * w)
+    blk, intra = _indices(key, h, w)
     cover = make_image(h, w)
     wm = make_image(h, w, blur=False)[..., 0]
     res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm),
-                             jnp.asarray(idx), jnp.float32(0.12))
+                             blk, intra, jnp.float32(0.12))
     stego = np.asarray(res.stego_bgr)
     stegos = jnp.asarray(np.stack([stego] * 16))
 
@@ -47,11 +53,11 @@ def test_batch_detect_matches_single(mesh8, make_image):
 def test_batch_embed_sharded(mesh8, make_image):
     h = w = 64
     key = crypto.derive_key("pw", bytes(8))
-    idx = crypto.permutation_indices(key, h * w)
+    blk, intra = _indices(key, h, w)
     frames = jnp.asarray(np.stack([make_image(h, w) for _ in range(8)]))
     wm = jnp.asarray(make_image(h, w, blur=False)[..., 0])
 
-    out = pbatch.batch_embed_blocked(frames, wm, jnp.asarray(idx), 0.12,
+    out = pbatch.batch_embed_blocked(frames, wm, blk, intra, 0.12,
                                      mesh=mesh8)
     assert out["stego"].shape == (8, h, w, 3)
     assert out["sc"].shape == (8, (h // 8) * (w // 8), 8)
@@ -59,7 +65,7 @@ def test_batch_embed_sharded(mesh8, make_image):
     # matches the unsharded graph (different broadcast/fusion paths may
     # differ by 1 ulp at u8 clip boundaries)
     ref = blocked.embed_gray(frames, jnp.broadcast_to(wm, (8, h, w)),
-                             jnp.asarray(idx), jnp.float32(0.12))
+                             blk, intra, jnp.float32(0.12))
     diff = np.abs(np.asarray(out["stego"], np.int32)
                   - np.asarray(ref.stego_bgr, np.int32))
     assert diff.max() <= 1
