@@ -69,11 +69,62 @@ def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
     return x, h + ph, w + pw
 
 
+def _use_fused() -> bool:
+    """Fused Pallas kernels (ops/wm_pallas.py) on TPU backends; the XLA
+    composition elsewhere (CPU tests, interpret-free portability)."""
+    import os
+    env = os.environ.get("DCTSVD_FUSED", "")
+    if env in ("0", "false"):
+        return False
+    if env in ("1", "true"):
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
     """float plane [..., H, W] -> per-block DCT SVD (no blockify transpose)."""
     padded, hp, wp = _pad_to_blocks(plane)
     coefs = dct.dct2_plane_blocks(padded)
     return svd.jacobi_svd(coefs, compute_uv=compute_uv), (hp, wp)
+
+
+def _plane_spectrum(plane: jax.Array) -> jax.Array:
+    """float plane [..., H, W] -> per-block singular values [..., N, 8]."""
+    padded, _, _ = _pad_to_blocks(plane)
+    if _use_fused():
+        from dctsvd_tpu.ops import wm_pallas
+        return wm_pallas.spectrum_plane_blocks.__wrapped__(padded)
+    coefs = dct.dct2_plane_blocks(padded)
+    return svd.jacobi_svd(coefs, compute_uv=False)
+
+
+def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
+                  kfrac: float):
+    """Cover-side blocked embed on float planes [..., H, W] against
+    slot-ordered watermark SVs ``sw`` ([..., N, 8], leading dims must
+    broadcast per channel). Returns (marked [..., H, W], sc [..., N, 8])."""
+    h, w = planes.shape[-2], planes.shape[-1]
+    k = k_of_block(kfrac)
+    mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
+    padded, hp, wp = _pad_to_blocks(planes)
+
+    if _use_fused():
+        from dctsvd_tpu.ops import wm_pallas
+        sws = (alpha * mask * sw).astype(jnp.float32)
+        if sws.ndim == 2:
+            sws = sws[None]                          # [1, N, 8] gray
+        elif sws.ndim > 3:
+            sws = sws.reshape(-1, *sws.shape[-2:])
+        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(padded, sws)
+        return marked[..., :h, :w], sc
+
+    coefs = dct.dct2_plane_blocks(padded)
+    uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
+    s_marked = sc + alpha * mask * sw
+    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
+                    precision=jax.lax.Precision.HIGHEST)
+    marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
+    return marked, sc
 
 
 class BlockedEmbedResult(NamedTuple):
@@ -139,19 +190,8 @@ def embed_gray_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
     Returns (stego_bgr u8, sc, psnr, ssim); psnr/ssim are NaN placeholders
     when ``with_metrics=False`` (throughput serving path).
     """
-    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
     y = color.luma_f32(cover_bgr_u8)
-    padded, hp, wp = _pad_to_blocks(y)
-    coefs = dct.dct2_plane_blocks(padded)
-    uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
-
-    k = k_of_block(kfrac)
-    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
-    s_marked = sc + alpha * mask * sw
-
-    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
-                    precision=jax.lax.Precision.HIGHEST)
-    y_marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
+    y_marked, sc = _embed_planes(y, sw, alpha, kfrac)
     stego = color.replace_luma(y_marked, cover_bgr_u8)
 
     if with_metrics:
@@ -168,19 +208,8 @@ def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
                          alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                          with_metrics: bool = True):
     """Cover-side blocked per-channel embed against a prepared watermark."""
-    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
     chans = jnp.moveaxis(cover_bgr_u8.astype(jnp.float32), -1, -3)
-    padded, hp, wp = _pad_to_blocks(chans)
-    coefs = dct.dct2_plane_blocks(padded)
-    uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
-
-    k = k_of_block(kfrac)
-    mask = (jnp.arange(BLOCK) < k).astype(sc.dtype)
-    s_marked = sc + alpha * mask * sw
-
-    cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
-                    precision=jax.lax.Precision.HIGHEST)
-    marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
+    marked, sc = _embed_planes(chans, sw, alpha, kfrac)
     stego = jnp.moveaxis(jnp.clip(marked, 0, 255), -3, -1).astype(jnp.uint8)
 
     if with_metrics:
@@ -223,9 +252,8 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
                     vwt_nat: jax.Array, inv_blk: jax.Array,
                     inv_intra: jax.Array, alpha: jax.Array, kfrac: float,
                     normalize: bool, h: int, w: int) -> jax.Array:
-    padded, hp, wp = _pad_to_blocks(y)
-    coefs = dct.dct2_plane_blocks(padded)
-    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+    _, hp, wp = _pad_to_blocks(y)
+    s_cw = _plane_spectrum(y)
 
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
@@ -276,9 +304,7 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
     """NC between stored and recovered per-block singular values, flattened
     over all blocks (the blocked analog of the reference's detect)."""
     y = color.luma_f32(stego_bgr_u8)
-    padded, _, _ = _pad_to_blocks(y)
-    coefs = dct.dct2_plane_blocks(padded)
-    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+    s_cw = _plane_spectrum(y)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     n = sw.shape[-2] * sw.shape[-1]
     return metrics.nc(sw.reshape(*sw.shape[:-2], n),
@@ -289,9 +315,7 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
 def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sw: jax.Array, alpha: jax.Array) -> jax.Array:
     chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
-    padded, _, _ = _pad_to_blocks(chans)
-    coefs = dct.dct2_plane_blocks(padded)
-    s_cw = svd.jacobi_svd(coefs, compute_uv=False)
+    s_cw = _plane_spectrum(chans)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     n = sw.shape[-2] * sw.shape[-1]
     scores = metrics.nc(sw.reshape(*sw.shape[:-2], n),

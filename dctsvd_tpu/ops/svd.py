@@ -62,7 +62,7 @@ def _rotation(app: jax.Array, aqq: jax.Array, apq: jax.Array):
     return c, s
 
 
-def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
+def jacobi_svd(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
                sort_descending: bool = True, impl: str = "auto"):
     """Batched one-sided Jacobi SVD of [..., m, n] with m >= n small (≤ 32).
 
@@ -91,7 +91,7 @@ def jacobi_svd(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "compute_uv",
                                              "sort_descending"))
-def _jacobi_svd_xla(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
+def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
                     sort_descending: bool = True):
     """Portable XLA formulation (CPU tests, non-TPU backends)."""
     *batch, m, n = a.shape
@@ -157,7 +157,7 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 8, compute_uv: bool = True,
     return u_b, s_bn, vt_b
 
 
-def jacobi_singular_values(a: jax.Array, sweeps: int = 8) -> jax.Array:
+def jacobi_singular_values(a: jax.Array, sweeps: int = 5) -> jax.Array:
     """Values-only variant (detect path — no U/V accumulation, ~40 % cheaper;
     SURVEY.md §3.3)."""
     return jacobi_svd(a, sweeps=sweeps, compute_uv=False)

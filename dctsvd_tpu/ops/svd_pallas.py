@@ -139,7 +139,7 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
 @functools.partial(jax.jit,
                    static_argnames=("sweeps", "compute_uv", "tile",
                                     "interpret"))
-def jacobi_svd_pallas(a: jax.Array, sweeps: int = 8,
+def jacobi_svd_pallas(a: jax.Array, sweeps: int = 5,
                       compute_uv: bool = True, tile: int = 512,
                       interpret: bool = False):
     """Drop-in for ops.svd.jacobi_svd on [..., m, n] f32 with n == m == 8
