@@ -37,6 +37,20 @@ from dctsvd_tpu.ops.dct import _dct_matrix_np
 from dctsvd_tpu.ops.svd_pallas import _SORT_NET, _rotation
 
 B = 8                       # block size
+
+# Brent–Luk tournament: 7 rounds of 4 DISJOINT pairs. The kernel is
+# latency-bound on the rotation dependency chain (ops are a few vregs
+# each), so emitting a round's four independent rotations phase-by-phase
+# (all dots, then all angles, then all column updates) gives the scheduler
+# 4-way ILP; the cyclic ordering serializes all 28. Tournament ordering
+# needs 5 sweeps for ≤2e-6 relative convergence on DCT blocks (cyclic: 4).
+_ROUNDS = []
+_others = list(range(1, B))
+for _ in range(B - 1):
+    _lineup = [0] + _others
+    _ROUNDS.append([tuple(sorted((_lineup[i], _lineup[B - 1 - i])))
+                    for i in range(B // 2)])
+    _others = [_others[-1]] + _others[:-1]
 # Mosaic assigns a stack slot per live SSA value; the unrolled 28-pair
 # sweep body keeps ~300 [R, 8, Wb] values live, which overflows the
 # default 16 MiB scoped-vmem budget for useful R — raise it (v5e has
@@ -106,19 +120,26 @@ def _jacobi_cols(g, sweeps, compute_uv):
             g, v = list(g), list(v)
         else:
             g, v = list(carry), None
-        for p, q in PAIRS:
-            gp, gq = g[p], g[q]
-            app = jnp.sum(gp * gp, axis=-2)
-            aqq = jnp.sum(gq * gq, axis=-2)
-            apq = jnp.sum(gp * gq, axis=-2)
-            c, s = _rotation(app, aqq, apq)
-            c, s = c[..., None, :], s[..., None, :]
-            g[p] = c * gp - s * gq
-            g[q] = s * gp + c * gq
-            if v is not None:
-                vp, vq = v[p], v[q]
-                v[p] = c * vp - s * vq
-                v[q] = s * vp + c * vq
+        for rnd in _ROUNDS:
+            # phase 1: all dots of the round (independent -> ILP)
+            dots = []
+            for p, q in rnd:
+                gp, gq = g[p], g[q]
+                dots.append((jnp.sum(gp * gp, axis=-2),
+                             jnp.sum(gq * gq, axis=-2),
+                             jnp.sum(gp * gq, axis=-2)))
+            # phase 2: all rotations
+            cs = [_rotation(*d) for d in dots]
+            # phase 3: all column updates (pairs are disjoint)
+            for (p, q), (c, s) in zip(rnd, cs):
+                c, s = c[..., None, :], s[..., None, :]
+                gp, gq = g[p], g[q]
+                g[p] = c * gp - s * gq
+                g[q] = s * gp + c * gq
+                if v is not None:
+                    vp, vq = v[p], v[q]
+                    v[p] = c * vp - s * vq
+                    v[q] = s * vp + c * vq
         if compute_uv:
             return tuple(g), tuple(v)
         return tuple(g)
@@ -183,6 +204,11 @@ def _make_embed_kernel(sweeps: int):
 
 
 def _make_spectrum_kernel(sweeps: int):
+    # Values-only one-sided Jacobi. (A two-sided Jacobi on the Gram matrix
+    # A=GᵀG — fewer ops, no reductions — was prototyped and measured
+    # SLOWER on v5e (36.5 vs 32 ms for 777k blocks): the kernel is bound by
+    # serialized vector-op retire rate, not op mix, so the simpler
+    # formulation that shares _jacobi_cols with the embed kernel wins.)
     d = _dct_matrix_np(B).tolist()
 
     def kernel(x_ref, s_ref):
