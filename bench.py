@@ -132,10 +132,88 @@ def bench_detect(h=1080, w=1920, batch=16, iters=32):
     return batch * iters / dt
 
 
+def bench_video(frames=150, h=1080, w=1920, interval=10):
+    """BASELINE config 4: streaming video embed (decode -> chunked batched
+    device embed -> encode), end-to-end wall clock including host codecs.
+    Reference model: each marked frame costs its measured 1080p CPU
+    dct+svd+recon (~3.45 s, BASELINE.md) -> ~interval/3.45 fps."""
+    import tempfile
+    import cv2
+    from dctsvd_tpu.models import video as m_video
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="dctsvd_bench_")
+    host = f"{tmp}/host.mp4"
+    wmp = f"{tmp}/wm.png"
+    vw = cv2.VideoWriter(host, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 3)
+    for i in range(frames):
+        vw.write(np.roll(base, 7 * i, axis=1))
+    vw.release()
+    cv2.imwrite(wmp, rng.integers(0, 256, (h, w), np.uint8))
+
+    # warmup: same-shape mini clip so the batched full-frame SVD graph
+    # compiles (minutes cold on a remote-attached chip) outside the timing
+    warm = f"{tmp}/warm.mp4"
+    vw = cv2.VideoWriter(warm, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for i in range(2):
+        vw.write(base)
+    vw.release()
+    log("video warmup (compile) ...")
+    m_video.embed_watermark_video(warm, wmp, f"{tmp}/warm_out.mp4",
+                                  f"{tmp}/warm_meta.npz", frame_interval=10)
+
+    t0 = time.time()
+    m_video.embed_watermark_video(host, wmp, f"{tmp}/out.mp4",
+                                  f"{tmp}/meta.npz",
+                                  frame_interval=interval)
+    dt = time.time() - t0
+    log(f"video embed: {dt:.1f}s for {frames} frames "
+        f"({frames // interval + 1} marked)")
+    return frames / dt
+
+
+def bench_robustness(h=1080, w=1920):
+    """BASELINE config 5: detect score under JPEG q50 / Gaussian noise /
+    25% crop attacks on a blocked-path stego."""
+    import cv2
+    import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.ops import color as c_ops
+
+    frames, wm, blk, intra = _inputs(1, h, w)
+    alpha = jnp.float32(0.12)
+    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
+    stego, sc, _, _ = blocked.embed_gray_prepared(frames, pw.sw, alpha)
+    stego_np = np.asarray(stego)[0]
+
+    def score(img):
+        return float(blocked.detect_gray(jnp.asarray(img[None]), sc,
+                                         pw.sw, alpha)[0])
+
+    ok, enc = cv2.imencode(".jpg", stego_np,
+                           [cv2.IMWRITE_JPEG_QUALITY, 50])
+    jpeg = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    rng = np.random.default_rng(7)
+    noisy = np.clip(stego_np.astype(np.float32)
+                    + rng.normal(0, 5, stego_np.shape), 0, 255
+                    ).astype(np.uint8)
+    cropped = stego_np.copy()
+    cropped[: h // 4] = 0            # 25% of rows blanked
+    scores = {"jpeg_q50": score(jpeg), "noise_s5": score(noisy),
+              "crop25": score(cropped), "clean_host": score(
+                  np.asarray(frames)[0])}
+    log(f"robustness scores: {scores}")
+    return scores
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="1080p",
-                   choices=["1080p", "512gray", "detect"])
+                   choices=["1080p", "512gray", "detect", "video",
+                            "robustness"])
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=32)
     args = p.parse_args()
@@ -154,12 +232,27 @@ def main():
             "metric": "512x512 gray embed+extract throughput (blocked path)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps * REF_512_GRAY_S, 1)}))
-    else:
+    elif args.config == "detect":
         fps = bench_detect(1080, 1920, args.batch * 4, args.iters)
         print(json.dumps({
             "metric": "1080p detect throughput (blocked path)",
             "value": round(fps, 2), "unit": "images/sec/chip",
             "vs_baseline": round(fps * REF_DETECT_1080P_S, 1)}))
+    elif args.config == "video":
+        fps = bench_video()
+        ref_fps = 10 / 3.45      # interval=10, 3.45 s/marked frame on CPU
+        print(json.dumps({
+            "metric": "1080p30 video embed end-to-end (incl. host codecs)",
+            "value": round(fps, 2), "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / ref_fps, 1)}))
+    else:
+        scores = bench_robustness()
+        attacked = {k: v for k, v in scores.items() if k != "clean_host"}
+        print(json.dumps({
+            "metric": "1080p detect score under JPEG q50/noise/crop attacks"
+                      " (min; threshold 0.6)",
+            "value": round(min(attacked.values()), 4), "unit": "NC score",
+            "vs_baseline": round(min(attacked.values()) / 0.6, 2)}))
 
 
 if __name__ == "__main__":

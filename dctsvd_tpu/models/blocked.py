@@ -298,28 +298,55 @@ def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
+def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
+             grid: int = 4) -> jax.Array:
+    """Median over a grid of spatial-band NCs instead of one global NC.
+
+    A global NC over all blocks is dragged negative by localized damage
+    (cropping/blanking 25% of a frame scored −0.26 on an otherwise intact
+    stego — measured). Carving the block grid into ``grid × grid`` spatial
+    bands, scoring each separately (~2k samples per 1080p band — low
+    variance) and taking the MEDIAN makes the score immune to any minority
+    of destroyed bands — a 25% row or column crop kills at most 4 of 16 —
+    while matching the global NC for uniform attacks (JPEG/noise) and
+    staying ~0 on clean hosts (every band is ~0).
+    """
+    sw = jnp.broadcast_to(sw, sw_hat.shape)
+    *lead, n, b = sw_hat.shape
+    g = max(1, min(grid, hb, wb))
+    gh, gw = hb // g, wb // g
+
+    def to_bands(x):
+        x = x.reshape(*lead, hb, wb, b)[..., :g * gh, :g * gw, :]
+        x = x.reshape(*lead, g, gh, g, gw, b)
+        x = jnp.swapaxes(x, -4, -3)                  # [..., g, g, gh, gw, b]
+        return x.reshape(*lead, g * g, gh * gw * b)
+
+    bands = metrics.nc(to_bands(sw), to_bands(sw_hat))   # [..., g*g]
+    return jnp.median(bands, axis=-1)
+
+
 @jax.jit
 def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
                 sw: jax.Array, alpha: jax.Array) -> jax.Array:
-    """NC between stored and recovered per-block singular values, flattened
-    over all blocks (the blocked analog of the reference's detect)."""
+    """Median-of-band NC between stored and recovered per-block singular
+    values (the blocked analog of the reference's detect, made robust to
+    localized damage — see _band_nc)."""
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     s_cw = _plane_spectrum(y)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    n = sw.shape[-2] * sw.shape[-1]
-    return metrics.nc(sw.reshape(*sw.shape[:-2], n),
-                      sw_hat.reshape(*sw_hat.shape[:-2], n))
+    return _band_nc(sw, sw_hat, -(-h // BLOCK), -(-w // BLOCK))
 
 
 @jax.jit
 def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sw: jax.Array, alpha: jax.Array) -> jax.Array:
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
     s_cw = _plane_spectrum(chans)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    n = sw.shape[-2] * sw.shape[-1]
-    scores = metrics.nc(sw.reshape(*sw.shape[:-2], n),
-                        sw_hat.reshape(*sw_hat.shape[:-2], n))
+    scores = _band_nc(sw, sw_hat, -(-h // BLOCK), -(-w // BLOCK))
     return jnp.mean(scores, axis=-1)
 
 

@@ -134,9 +134,16 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                       progress_every: int = 100,
                       progress: Optional[Callable[[int, int], None]] = None,
                       temp_suffix: str = "", retries: int = 2,
-                      checkpoint_every: int = 64):
+                      checkpoint_every: int = 64, chunk: int = 4):
     """Shared embed loop. Writes to out_path+temp_suffix (the with-audio
     variants remux afterwards).
+
+    Marked frames batch into device dispatches of ``chunk`` (the streaming
+    formulation of BASELINE config 4): frames buffer in arrival order, each
+    full chunk runs ONE batched embed graph, and the buffer flushes to the
+    writer strictly in order — device compute overlaps the host's decode of
+    the next window. Partial final chunks pad by repetition (single compiled
+    shape) and drop the padding on write-back.
 
     Failure handling (SURVEY.md §5): each device dispatch retries up to
     ``retries`` times (transient device/tunnel failures), and the meta
@@ -166,45 +173,71 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         metaio.save_video_meta(meta_path, meta)
         return meta
 
-    def _dispatch(frame):
+    def _dispatch_batch(planes: np.ndarray):
+        """planes: [K, H, W] gray or [K, 3, H, W] color f32. One device
+        round trip for the whole chunk."""
         last_err = None
         for _ in range(retries + 1):
             try:
-                if color:
-                    chans = jnp.asarray(
-                        np.moveaxis(frame.astype(np.float32), -1, 0))
-                    marked, s_orig = _embed_frame_color(chans, sw_d, alpha_d)
-                else:
-                    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-                    marked, s_orig = _embed_frame_gray(
-                        jnp.asarray(gray, jnp.float32), sw_d, alpha_d)
+                fn = _embed_frame_color if color else _embed_frame_gray
+                marked, s_orig = fn(jnp.asarray(planes), sw_d, alpha_d)
                 return to_numpy(marked), to_numpy(s_orig)
             except Exception as e:  # transient device failure -> retry
                 last_err = e
-                logger.warning("frame dispatch failed (%s), retrying", e)
+                logger.warning("chunk dispatch failed (%s), retrying", e)
         raise last_err
 
+    # ordered buffer: ('pass', frame) | ('marked', slot); slots fill at flush
+    buf = []
+    pending = []           # (slot_id, frame_idx, plane)
+    results = {}
+
+    def _flush(writer):
+        if pending:
+            k = len(pending)
+            planes = np.stack([p for _, _, p in pending] +
+                              [pending[-1][2]] * (chunk - k))
+            marked, s_orig = _dispatch_batch(planes)
+            for j, (slot, fidx, _) in enumerate(pending):
+                results[slot] = marked[j]
+                frame_indices.append(fidx)
+                s_list.append(s_orig[j])
+                tp.add()
+            pending.clear()
+        for kind, payload in buf:
+            if kind == "pass":
+                writer.write(payload)
+            else:
+                m = results.pop(payload)
+                if color:
+                    writer.write(np.ascontiguousarray(np.moveaxis(m, 0, -1)))
+                else:
+                    writer.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+        buf.clear()
+        if frame_indices and len(frame_indices) % checkpoint_every == 0:
+            _checkpoint()
+
+    slot_counter = 0
     with video_io.VideoReader(host_path) as reader:
         with video_io.VideoWriter(write_path, reader.fps, reader.width,
                                   reader.height) as writer:
             for idx, frame in enumerate(reader):
                 if idx % frame_interval == 0:
-                    marked, s_orig = _dispatch(frame)
-                    s_list.append(s_orig)
-                    frame_indices.append(idx)
                     if color:
-                        bgr = np.moveaxis(marked, 0, -1)
-                        writer.write(np.ascontiguousarray(bgr))
+                        plane = np.moveaxis(frame.astype(np.float32), -1, 0)
                     else:
-                        writer.write(cv2.cvtColor(marked,
-                                                  cv2.COLOR_GRAY2BGR))
-                    tp.add()
-                    if len(frame_indices) % checkpoint_every == 0:
-                        _checkpoint()
+                        plane = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY
+                                             ).astype(np.float32)
+                    buf.append(("marked", slot_counter))
+                    pending.append((slot_counter, idx, plane))
+                    slot_counter += 1
+                    if len(pending) >= chunk:
+                        _flush(writer)
                 else:
-                    writer.write(frame)
+                    buf.append(("pass", frame))
                 if progress and idx % progress_every == 0:
                     progress(idx, reader.total_frames)
+            _flush(writer)
 
     meta = _checkpoint()
     return write_path, meta_path, meta
@@ -325,10 +358,12 @@ def embed_text_watermark_video_color_with_audio(host_path: str, text: str,
 
 
 def extract_watermark_video(video_path: str, meta_path: str,
-                            out_path: str) -> str:
+                            out_path: str, chunk: int = 4) -> str:
     """Average per-frame watermark estimates over all recorded frames
     (ref: video_dct_svd.pyc l.170-241; color: color_video_dct_svd.pyc
-    l.272-330 additionally averages the three channels)."""
+    l.272-330 additionally averages the three channels). Marked frames
+    batch into device dispatches of ``chunk``; the cross-frame mean happens
+    on device, so only the final averaged plane is read back."""
     meta = metaio.load_video_meta(meta_path)
     alpha_d = jnp.float32(max(meta.alpha, 1e-8))
     uw_d = jnp.asarray(meta.uw)
@@ -337,27 +372,42 @@ def extract_watermark_video(video_path: str, meta_path: str,
 
     acc = None
     count = 0
+    planes_buf = []
+    sorig_buf = []
+
+    def _flush():
+        nonlocal acc, count
+        if not planes_buf:
+            return
+        k = len(planes_buf)
+        pad = chunk - k
+        planes = np.stack(planes_buf + [planes_buf[-1]] * pad)
+        sorig = np.stack(sorig_buf + [sorig_buf[-1]] * pad)
+        s_now = _frame_singular_values(jnp.asarray(planes))
+        est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d, alpha_d)
+        if meta.is_color:
+            est = jnp.mean(est, axis=-3)             # [K, H, W]
+        est_np = np.asarray(jnp.sum(est[:k], axis=0))[:h, :w]
+        acc = est_np if acc is None else acc + est_np
+        count += k
+        planes_buf.clear()
+        sorig_buf.clear()
+
     with video_io.VideoReader(video_path) as reader:
         for i, idx in enumerate(meta.frame_indices):
             frame = reader.seek_read(int(idx))
             if frame is None:
                 continue
             if meta.is_color:
-                chans = jnp.asarray(
+                planes_buf.append(
                     np.moveaxis(frame.astype(np.float32), -1, 0))
-                s_now = _frame_singular_values(chans)        # [3, L]
-                est = _recover_wm(s_now, jnp.asarray(meta.s_orig[i]),
-                                  uw_d, vtw_d, alpha_d)       # [3, H, W]
-                est = jnp.mean(est, axis=0)
             else:
-                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-                s_now = _frame_singular_values(
-                    jnp.asarray(gray, jnp.float32))
-                est = _recover_wm(s_now, jnp.asarray(meta.s_orig[i]),
-                                  uw_d, vtw_d, alpha_d)
-            est_np = np.asarray(est)[:h, :w]
-            acc = est_np if acc is None else acc + est_np
-            count += 1
+                planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY
+                                               ).astype(np.float32))
+            sorig_buf.append(np.asarray(meta.s_orig[i]))
+            if len(planes_buf) >= chunk:
+                _flush()
+        _flush()
     if acc is None:
         raise ValueError("No recorded frames could be read from the video.")
     wm = np.clip(acc / count, 0, 255).astype(np.uint8)
