@@ -107,9 +107,9 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
     # index n is the leading axis so g[p] is a static slice.
     g = jnp.transpose(a.reshape(bsz, m, n), (2, 1, 0))   # [n, m, B]
     if compute_uv:
-        v = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None],
-                             (n, n, bsz))
-        v = jnp.array(v)                             # [n(col), n(row), B]
+        # init from g (not a bare constant) so the scan carry keeps the same
+        # varying-manual-axes type under shard_map
+        v = jnp.eye(n, dtype=dtype)[:, :, None] + 0.0 * g[:, :n, :]
     else:
         v = None
 

@@ -68,6 +68,21 @@ def test_detect_survives_attacks(assets, method):
     assert not found
 
 
+def test_blocked_detect_survives_crop(assets):
+    """Localized damage: blanking 25% of rows must not kill detection
+    (median-of-band NC — a global NC measured -0.26 on this attack)."""
+    d, cp, wp = assets
+    out, mp, *_ = api.embed(cp, wp, str(d / "s_crop.png"),
+                            str(d / "m_crop.npz"), alpha=0.12,
+                            password="pw", method="blocked")
+    stego = cv2.imread(out)
+    stego[: stego.shape[0] // 4] = 0
+    ap = str(d / "att_crop.png")
+    cv2.imwrite(ap, stego)
+    found, score = api.detect(ap, mp)
+    assert found and score > 0.8, score
+
+
 def test_full_path_matches_oracle_under_attack(assets):
     """Cross-impl: oracle embeds, we detect on the attacked stego, scores
     must agree within 1e-3 (both recompute the same math)."""

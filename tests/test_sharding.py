@@ -70,3 +70,33 @@ def test_batch_embed_sharded(mesh8, make_image):
                   - np.asarray(ref.stego_bgr, np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 1e-3
+
+
+def test_plane_sharded_embed_detect(mesh8, make_image):
+    """One large frame sharded into horizontal bands (parallel/plane.py):
+    sharded embed must equal the single-device blocked embed exactly, and
+    the gathered band-median detect must fire."""
+    from dctsvd_tpu.parallel import plane as pplane
+
+    h, w = 8 * 8 * 8, 128            # H divisible by 8*n_devices
+    key = crypto.derive_key("pw", bytes(8))
+    blk, intra = _indices(key, h, w)
+    cover = jnp.asarray(make_image(h, w))
+    wm = jnp.asarray(make_image(h, w, blur=False)[..., 0])
+
+    pw = blocked.prepare_wm_gray(wm, blk, intra)
+    stego_s, sc_s = pplane.plane_embed_gray(cover, pw.sw, 0.12, mesh=mesh8)
+
+    ref_stego, ref_sc, _, _ = blocked.embed_gray_prepared(
+        cover, pw.sw, jnp.float32(0.12), with_metrics=False)
+    np.testing.assert_array_equal(np.asarray(stego_s), np.asarray(ref_stego))
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(ref_sc),
+                               rtol=2e-5, atol=1e-2)
+
+    score = float(pplane.plane_detect_gray(stego_s, sc_s, pw.sw, 0.12,
+                                           mesh=mesh8))
+    assert score > 0.8, score
+
+    clean = float(pplane.plane_detect_gray(cover, sc_s, pw.sw, 0.12,
+                                           mesh=mesh8))
+    assert abs(clean) < 0.3, clean
