@@ -73,8 +73,9 @@ def jacobi_svd(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
     'xla' (portable formulation below), or 'auto' (pallas on TPU backends,
     xla elsewhere; override with env DCTSVD_SVD_IMPL).
 
-    Accuracy: ~1e-6 relative on singular values of random 8×8 f32 after 8
-    sweeps (tests/test_svd.py). Fixed sweep count -> fully static graph.
+    Accuracy: converged at f32 by 5 cyclic sweeps on both DCT blocks and
+    random Gaussian 8×8 (measured vs LAPACK; tests/test_svd.py). Fixed
+    sweep count -> fully static graph.
     """
     import os
     if impl == "auto":

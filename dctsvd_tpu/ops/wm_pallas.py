@@ -38,19 +38,14 @@ from dctsvd_tpu.ops.svd_pallas import _SORT_NET, _rotation
 
 B = 8                       # block size
 
-# Brent–Luk tournament: 7 rounds of 4 DISJOINT pairs. The kernel is
-# latency-bound on the rotation dependency chain (ops are a few vregs
-# each), so emitting a round's four independent rotations phase-by-phase
-# (all dots, then all angles, then all column updates) gives the scheduler
-# 4-way ILP; the cyclic ordering serializes all 28. Tournament ordering
-# needs 5 sweeps for ≤2e-6 relative convergence on DCT blocks (cyclic: 4).
-_ROUNDS = []
-_others = list(range(1, B))
-for _ in range(B - 1):
-    _lineup = [0] + _others
-    _ROUNDS.append([tuple(sorted((_lineup[i], _lineup[B - 1 - i])))
-                    for i in range(B // 2)])
-    _others = [_others[-1]] + _others[:-1]
+# Pair ordering: cyclic-by-rows. A Brent–Luk tournament ordering (7 rounds
+# of 4 disjoint pairs, phase-batched for ILP) was measured on hardware and
+# gave ZERO speedup — the kernel's vector-op retire rate is the bound, not
+# the dependency chain — while costing one extra sweep of convergence, so
+# cyclic wins. Sweeps: DCT blocks converge to 1.4e-6 relative in 4 cyclic
+# sweeps, but matrices with clustered singular values (random Gaussian)
+# need 5 for orthogonal U — keep 5 as the safe default.
+_SWEEPS_DEFAULT = 5
 # Mosaic assigns a stack slot per live SSA value; the unrolled 28-pair
 # sweep body keeps ~300 [R, 8, Wb] values live, which overflows the
 # default 16 MiB scoped-vmem budget for useful R — raise it (v5e has
@@ -120,26 +115,19 @@ def _jacobi_cols(g, sweeps, compute_uv):
             g, v = list(g), list(v)
         else:
             g, v = list(carry), None
-        for rnd in _ROUNDS:
-            # phase 1: all dots of the round (independent -> ILP)
-            dots = []
-            for p, q in rnd:
-                gp, gq = g[p], g[q]
-                dots.append((jnp.sum(gp * gp, axis=-2),
-                             jnp.sum(gq * gq, axis=-2),
-                             jnp.sum(gp * gq, axis=-2)))
-            # phase 2: all rotations
-            cs = [_rotation(*d) for d in dots]
-            # phase 3: all column updates (pairs are disjoint)
-            for (p, q), (c, s) in zip(rnd, cs):
-                c, s = c[..., None, :], s[..., None, :]
-                gp, gq = g[p], g[q]
-                g[p] = c * gp - s * gq
-                g[q] = s * gp + c * gq
-                if v is not None:
-                    vp, vq = v[p], v[q]
-                    v[p] = c * vp - s * vq
-                    v[q] = s * vp + c * vq
+        for p, q in PAIRS:
+            gp, gq = g[p], g[q]
+            app = jnp.sum(gp * gp, axis=-2)
+            aqq = jnp.sum(gq * gq, axis=-2)
+            apq = jnp.sum(gp * gq, axis=-2)
+            c, s = _rotation(app, aqq, apq)
+            c, s = c[..., None, :], s[..., None, :]
+            g[p] = c * gp - s * gq
+            g[q] = s * gp + c * gq
+            if v is not None:
+                vp, vq = v[p], v[q]
+                v[p] = c * vp - s * vq
+                v[q] = s * vp + c * vq
         if compute_uv:
             return tuple(g), tuple(v)
         return tuple(g)
@@ -253,7 +241,8 @@ def _rows_per_cell(hb: int, wb: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
-                       sweeps: int = 5, rows: int | None = None,
+                       sweeps: int = _SWEEPS_DEFAULT,
+                       rows: int | None = None,
                        interpret: bool = False):
     """Fused blocked embed over f32 planes.
 
@@ -300,7 +289,8 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret"))
-def spectrum_plane_blocks(planes: jax.Array, sweeps: int = 5,
+def spectrum_plane_blocks(planes: jax.Array,
+                          sweeps: int = _SWEEPS_DEFAULT,
                           rows: int | None = None,
                           interpret: bool = False) -> jax.Array:
     """Fused DCT + values-only Jacobi: [..., H, W] f32 -> [..., N, 8]."""
