@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="dctsvd-tpu",
         description="TPU-native DCT-SVD image/video watermarking")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the command to DIR "
+                         "(view with Perfetto/TensorBoard) and log stage "
+                         "wall times")
+    ap.add_argument("--log-level", default="INFO",
+                    choices=["DEBUG", "INFO", "WARNING", "ERROR"])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("embed", help="embed an image watermark")
@@ -98,6 +104,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import logging
+
+    from dctsvd_tpu.utils import profiling
+
+    profiling.setup_logging(getattr(logging, args.log_level))
+    with profiling.trace(args.profile):
+        return _run(args)
+
+
+def _run(args) -> int:
     if args.cmd == "embed":
         from dctsvd_tpu import api
         meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
