@@ -30,16 +30,22 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
     """Embed a watermark image into a cover image.
 
     Returns (out_path, meta_path, psnr, ssim), exactly like the reference
-    (ref: app_dct_svd_single.py:112-190).
+    (ref: app_dct_svd_single.py:112-190). ``password=None`` selects the
+    legacy open mode (no permutation, no HMAC — the separated core's
+    behavior, ref: dct_svd_core_secure.py:101-150); with a password the
+    full secure pipeline applies.
     """
-    crypto.require_password(password)
     cover = image_io.read_bgr(cover_path)
     wm = image_io.read_bgr(wm_source)
     h, w = cover.shape[:2]
 
-    nonce = crypto.make_nonce()
-    key = crypto.derive_key(password, nonce)
-    idx = crypto.permutation_indices(key, h * w)
+    if password:
+        nonce = crypto.make_nonce()
+        key = crypto.derive_key(password, nonce)
+        idx = crypto.permutation_indices(key, h * w)
+    else:
+        nonce = key = None
+        idx = np.arange(h * w)
 
     wm_rs = to_numpy(r_ops.resize_area_u8(jnp.asarray(wm), h, w))
 
@@ -58,7 +64,7 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
         uw = np.asarray(res.uw)
         vwt = np.asarray(res.vwt)
         sw = np.asarray(res.sw)
-        digest = metaio.color_digest(key, s_bgr, uw, vwt)
+        digest = metaio.color_digest(key, s_bgr, uw, vwt) if key else None
         image_io.write_png(out_path, to_numpy(res.stego_bgr))
         metaio.save_color_meta(meta_path, s_bgr=s_bgr, uw=uw, vwt=vwt, sw=sw,
                                shape=(h, w), alpha=alpha, kfrac=kfrac,
@@ -71,7 +77,7 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
         sc = np.asarray(res.sc)
         uw = np.asarray(res.uw)
         vwt = np.asarray(res.vwt)
-        digest = metaio.gray_digest(key, sc, uw, vwt)
+        digest = metaio.gray_digest(key, sc, uw, vwt) if key else None
         image_io.write_png(out_path, to_numpy(res.stego_bgr))
         metaio.save_gray_meta(meta_path, sc=sc, uw=uw, vwt=vwt,
                               sw=np.asarray(res.sw), shape=(h, w),
@@ -81,15 +87,21 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
 
 
 def extract(stego_path: str, meta_path: str, out_path: str,
-            password: str, normalize: bool = True,
+            password: Optional[str] = None, normalize: bool = True,
             enhance: bool = True) -> str:
-    """HMAC-gated extraction (ref: app_dct_svd_single.py:192-282)."""
-    crypto.require_password(password)
+    """HMAC-gated extraction (ref: app_dct_svd_single.py:192-282). Metas
+    written without a password (legacy open mode) extract with
+    ``password=None`` — no permutation, no HMAC."""
     meta = metaio.load_meta(meta_path)
     stego = image_io.read_bgr(stego_path)
     h, w = meta.shape
-    key = crypto.derive_key(password, meta.nonce)
-    idx = crypto.permutation_indices(key, h * w)
+    if meta.digest is not None:
+        crypto.require_password(password)
+        key = crypto.derive_key(password, meta.nonce)
+        idx = crypto.permutation_indices(key, h * w)
+    else:
+        key = None
+        idx = np.arange(h * w)
     inv = crypto.inverse_permutation(idx)
 
     if meta.is_blocked:
@@ -99,13 +111,14 @@ def extract(stego_path: str, meta_path: str, out_path: str,
 
     uw, vwt, _sw = meta.wm_basis_stacked()
     s_cover = meta.s_cover_stacked()
-    if meta.is_color:
-        expected = metaio.color_digest(key, s_cover, uw, vwt)
-    else:
-        expected = metaio.gray_digest(key, s_cover, uw, vwt)
-    if not crypto.digests_equal(expected, meta.digest):
-        raise ValueError("Wrong password or corrupted meta "
-                         "(HMAC verification failed).")
+    if key is not None:
+        if meta.is_color:
+            expected = metaio.color_digest(key, s_cover, uw, vwt)
+        else:
+            expected = metaio.gray_digest(key, s_cover, uw, vwt)
+        if not crypto.digests_equal(expected, meta.digest):
+            raise ValueError("Wrong password or corrupted meta "
+                             "(HMAC verification failed).")
 
     alpha = jnp.float32(meta.alpha)
     if meta.is_color:

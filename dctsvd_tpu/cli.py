@@ -50,7 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("stego")
     p.add_argument("meta")
     p.add_argument("--out", default="wm.png")
-    p.add_argument("--password", required=True)
+    p.add_argument("--password", required=False, default=None,
+                   help="required for password-protected metas; omit for "
+                        "open-mode metas")
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--no-enhance", action="store_true",
                    help="skip the NLM->CLAHE->unsharp chain")

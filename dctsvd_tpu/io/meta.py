@@ -67,19 +67,23 @@ def save_gray_meta(path: str, *, sc, uw, vwt, sw, shape, alpha: float,
 
 
 def save_color_meta(path: str, *, s_bgr, uw, vwt, sw, shape, alpha: float,
-                    kfrac: float, nonce: bytes, digest: bytes,
+                    kfrac: float, nonce: Optional[bytes],
+                    digest: Optional[bytes],
                     payload_type: str = "image",
                     extra: Optional[Dict] = None) -> str:
-    """s_bgr/uw/vwt/sw stacked [3, ...] in B,G,R channel order."""
+    """s_bgr/uw/vwt/sw stacked [3, ...] in B,G,R channel order;
+    nonce/digest None = password-less "open" mode (see save_gray_meta)."""
     kw = dict(mode=MODE_COLOR, payload_type=payload_type,
               Sb=s_bgr[0], Sg=s_bgr[1], Sr=s_bgr[2],
               UWb=uw[0], VWbt=vwt[0], SWb=sw[0],
               UWg=uw[1], VWgt=vwt[1], SWg=sw[1],
               UWr=uw[2], VWrt=vwt[2], SWr=sw[2],
               shape=np.asarray(shape), alpha=float(alpha),
-              kfrac=float(kfrac),
-              nonce=np.frombuffer(nonce, dtype=np.uint8),
-              digest=np.frombuffer(digest, dtype=np.uint8))
+              kfrac=float(kfrac))
+    if nonce is not None:
+        kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
+    if digest is not None:
+        kw["digest"] = np.frombuffer(digest, dtype=np.uint8)
     if extra:
         kw.update(extra)
     np.savez_compressed(path, **kw)

@@ -360,7 +360,11 @@ def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
         key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
 
 
-def _indices(key: bytes, h: int, w: int):
+def _indices(key, h: int, w: int):
+    """key=None -> identity permutation (legacy open mode)."""
+    if key is None:
+        return (jnp.arange(n_blocks_of(h, w)),
+                jnp.arange(BLOCK * BLOCK))
     blk, intra = crypto.block_permutation_indices(
         key, n_blocks_of(h, w), BLOCK * BLOCK)
     return jnp.asarray(blk), jnp.asarray(intra)
@@ -386,15 +390,17 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     uw = np.asarray(res.uw)
     vwt = np.asarray(res.vwt)
     sw = np.asarray(res.sw)
-    digest = _digest(key, sc, uw, vwt)
     out_path = metaio.default_stego_path(out_path)
     image_io.write_png(out_path, to_numpy(res.stego_bgr))
-    np.savez_compressed(meta_path, mode=mode, payload_type="image",
-                        Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
-                        shape=np.asarray((h, w)), alpha=float(alpha),
-                        kfrac=float(kfrac), block=BLOCK,
-                        nonce=np.frombuffer(nonce, dtype=np.uint8),
-                        digest=np.frombuffer(digest, dtype=np.uint8))
+    kw = dict(mode=mode, payload_type="image",
+              Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
+              shape=np.asarray((h, w)), alpha=float(alpha),
+              kfrac=float(kfrac), block=BLOCK)
+    if key is not None:
+        kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
+        kw["digest"] = np.frombuffer(_digest(key, sc, uw, vwt),
+                                     dtype=np.uint8)
+    np.savez_compressed(meta_path, **kw)
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 
 
@@ -404,10 +410,15 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
     sc = meta.arrays["Sc"]
     uw = meta.arrays["Uw"]
     vwt = meta.arrays["Vwt"]
-    expected = _digest(key, sc, uw, vwt)
-    if not crypto.digests_equal(expected, meta.digest):
-        raise ValueError("Wrong password or corrupted meta "
-                         "(HMAC verification failed).")
+    if meta.digest is not None:
+        if key is None:
+            raise ValueError("This meta requires a password.")
+        expected = _digest(key, sc, uw, vwt)
+        if not crypto.digests_equal(expected, meta.digest):
+            raise ValueError("Wrong password or corrupted meta "
+                             "(HMAC verification failed).")
+    else:
+        key = None                     # open-mode meta: identity indices
     blk_idx, intra_idx = _indices(key, h, w)
     inv_blk = jnp.argsort(blk_idx)
     inv_intra = jnp.argsort(intra_idx)

@@ -129,8 +129,38 @@ def test_detect_clean_host_scores_zero(tmp_path, cover, wm):
     assert abs(score) < 0.35
 
 
-def test_missing_password_raises(tmp_path, cover, wm):
+def test_secure_meta_requires_password(tmp_path, cover, wm):
+    """A password-protected meta must refuse extraction without the
+    password (password=None is only valid for open-mode metas)."""
     cp, wp = _paths(tmp_path, cover, wm)
+    out, mp, *_ = api.embed(cp, wp, str(tmp_path / "s.png"),
+                            str(tmp_path / "m.npz"), password="pw")
     with pytest.raises(ValueError):
-        api.embed(cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
-                  password=None)
+        api.extract(out, mp, str(tmp_path / "x.png"), password=None)
+
+
+@pytest.mark.parametrize("method", ["full", "blocked"])
+def test_open_mode_roundtrip(tmp_path, make_image, method):
+    """password=None = the legacy core's open mode: no permutation, no
+    HMAC, meta carries no nonce/digest keys (ref: dct_svd_core_secure.py
+    :101-150); extraction works without a password."""
+    import cv2
+    cover = make_image(96, 96)
+    wm = make_image(48, 48, blur=False)
+    cp, wp = str(tmp_path / "c.png"), str(tmp_path / "w.png")
+    cv2.imwrite(cp, cover)
+    cv2.imwrite(wp, wm)
+    out, mp, ps, _ = api.embed(cp, wp, str(tmp_path / "s.png"),
+                               str(tmp_path / "m.npz"), alpha=0.12,
+                               password=None, method=method)
+    assert ps > 20
+    with np.load(mp) as data:
+        assert "nonce" not in data and "digest" not in data
+    found, score = api.detect(out, mp)
+    assert found and score > 0.8
+    got = api.extract(out, mp, str(tmp_path / "x.png"), password=None,
+                      enhance=False)
+    ref = cv2.cvtColor(cv2.resize(wm, (96, 96),
+                                  interpolation=cv2.INTER_AREA),
+                       cv2.COLOR_BGR2GRAY)
+    assert oracle.nc(cv2.imread(got, cv2.IMREAD_GRAYSCALE), ref) > 0.5
