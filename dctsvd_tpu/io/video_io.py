@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import subprocess
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -26,9 +26,7 @@ full spectrum).
 
 from __future__ import annotations
 
-import functools
-import os
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

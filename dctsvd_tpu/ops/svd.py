@@ -22,7 +22,6 @@ into cheap in-register updates, and the batch axis stays on lanes.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

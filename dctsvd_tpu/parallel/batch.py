@@ -10,12 +10,12 @@ throughput: the frame chunk is the batch.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from dctsvd_tpu.models import blocked, image as m_image
 from dctsvd_tpu.parallel import mesh as mesh_lib

@@ -14,7 +14,6 @@ kernels are custom calls XLA's automatic partitioner can't split.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -79,7 +78,7 @@ def plane_detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array, sw: jax.Array,
     ax = mesh_lib.BATCH_AXIS
 
     def body(stego_band, sc_band, sw_band):
-        from dctsvd_tpu.models.blocked import _band_nc, _plane_spectrum
+        from dctsvd_tpu.models.blocked import _plane_spectrum
         from dctsvd_tpu.ops import color as c_ops
         y = c_ops.luma_f32(stego_band)
         s_cw = _plane_spectrum(y)
