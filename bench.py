@@ -214,8 +214,8 @@ def main():
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "512gray", "detect", "video",
                             "robustness"])
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=12)
     args = p.parse_args()
 
     if args.config == "1080p":
