@@ -114,24 +114,29 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
         v = None
 
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    # Rutishauser norm caching (see ops/wm_pallas.py): one reduction per
+    # pair instead of three; norms update algebraically.
+    norms = jnp.sum(g * g, axis=1)                   # [n, B]
 
     def sweep(carry, _):
-        g, v = carry
+        g, norms, v = carry
         for p, q in pairs:
             gp, gq = g[p], g[q]                      # [m, B]
-            app = jnp.sum(gp * gp, axis=0)           # [B]
-            aqq = jnp.sum(gq * gq, axis=0)
-            apq = jnp.sum(gp * gq, axis=0)
+            app, aqq = norms[p], norms[q]
+            apq = jnp.sum(gp * gq, axis=0)           # [B]
             c, s = _rotation(app, aqq, apq)          # [B]
+            t = s / c
+            norms = norms.at[p].set(app - t * apq)
+            norms = norms.at[q].set(aqq + t * apq)
             g = g.at[p].set(c * gp - s * gq)
             g = g.at[q].set(s * gp + c * gq)
             if v is not None:
                 vp, vq = v[p], v[q]
                 v = v.at[p].set(c * vp - s * vq)
                 v = v.at[q].set(s * vp + c * vq)
-        return (g, v), None
+        return (g, norms, v), None
 
-    (g, v), _ = jax.lax.scan(sweep, (g, v), None, length=sweeps)
+    (g, _, v), _ = jax.lax.scan(sweep, (g, norms, v), None, length=sweeps)
 
     s = jnp.sqrt(jnp.sum(g * g, axis=1))            # [n, B]
     s_bn = jnp.moveaxis(s, 0, -1).reshape(*batch, n)

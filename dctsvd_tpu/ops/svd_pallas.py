@@ -73,19 +73,26 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
         else:
             v = None
 
+        # Rutishauser norm caching (see ops/wm_pallas.py): only the cross
+        # dot apq needs a reduction per pair; column norms update
+        # algebraically and final singular values use fresh norms.
+        norms = [jnp.sum(g[i] * g[i], axis=0) for i in range(n)]
+
         def sweep(_, carry):
             if compute_uv:
-                g, v = carry
+                g, norms, v = carry
+                g, norms, v = list(g), list(norms), list(v)
             else:
-                g, v = carry, None
-            g = list(g)
-            v = list(v) if v is not None else None
+                g, norms = list(carry[0]), list(carry[1])
+                v = None
             for p, q in pairs:
                 gp, gq = g[p], g[q]                      # [m, TILE]
-                app = jnp.sum(gp * gp, axis=0)           # [TILE]
-                aqq = jnp.sum(gq * gq, axis=0)
-                apq = jnp.sum(gp * gq, axis=0)
+                app, aqq = norms[p], norms[q]
+                apq = jnp.sum(gp * gq, axis=0)           # [TILE]
                 c, s = _rotation(app, aqq, apq)
+                t = s / c
+                norms[p] = app - t * apq
+                norms[q] = aqq + t * apq
                 g[p] = c * gp - s * gq
                 g[q] = s * gp + c * gq
                 if v is not None:
@@ -93,14 +100,17 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
                     v[p] = c * vp - s * vq
                     v[q] = s * vp + c * vq
             if compute_uv:
-                return tuple(g), tuple(v)
-            return tuple(g)
+                return tuple(g), tuple(norms), tuple(v)
+            return tuple(g), tuple(norms)
 
         if compute_uv:
-            g, v = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(v)))
+            g, _, v = jax.lax.fori_loop(
+                0, sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
             g, v = list(g), list(v)
         else:
-            g = list(jax.lax.fori_loop(0, sweeps, sweep, tuple(g)))
+            g, _ = jax.lax.fori_loop(0, sweeps, sweep,
+                                     (tuple(g), tuple(norms)))
+            g = list(g)
 
         s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=0)) for i in range(n)]
 

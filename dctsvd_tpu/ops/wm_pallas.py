@@ -109,18 +109,28 @@ def _jacobi_cols(g, sweeps, compute_uv):
                          ).astype(jnp.float32)
             v.append(col)
 
+    # Rutishauser norm caching: column norms update algebraically after
+    # each rotation (n'p = np − t·apq, n'q = nq + t·apq) so only the cross
+    # dot apq needs a reduction — 1/3 the reductions of the textbook form.
+    # Measured perf-neutral on v5e (the kernel is bound by sequential
+    # vector-op issue, not op mix) but strictly less work; final singular
+    # values still come from fresh norms.
+    norms = [jnp.sum(g[i] * g[i], axis=-2) for i in range(B)]
+
     def sweep(_, carry):
         if compute_uv:
-            g, v = carry
-            g, v = list(g), list(v)
+            g, norms, v = carry
+            g, norms, v = list(g), list(norms), list(v)
         else:
-            g, v = list(carry), None
+            (g, norms), v = (list(carry[0]), list(carry[1])), None
         for p, q in PAIRS:
             gp, gq = g[p], g[q]
-            app = jnp.sum(gp * gp, axis=-2)
-            aqq = jnp.sum(gq * gq, axis=-2)
+            app, aqq = norms[p], norms[q]
             apq = jnp.sum(gp * gq, axis=-2)
             c, s = _rotation(app, aqq, apq)
+            t = s / c
+            norms[p] = app - t * apq
+            norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
             g[p] = c * gp - s * gq
             g[q] = s * gp + c * gq
@@ -129,14 +139,17 @@ def _jacobi_cols(g, sweeps, compute_uv):
                 v[p] = c * vp - s * vq
                 v[q] = s * vp + c * vq
         if compute_uv:
-            return tuple(g), tuple(v)
-        return tuple(g)
+            return tuple(g), tuple(norms), tuple(v)
+        return tuple(g), tuple(norms)
 
     if compute_uv:
-        g, v = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(v)))
+        g, _, v = jax.lax.fori_loop(
+            0, sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
         g, v = list(g), list(v)
     else:
-        g = list(jax.lax.fori_loop(0, sweeps, sweep, tuple(g)))
+        g, _ = jax.lax.fori_loop(0, sweeps, sweep,
+                                 (tuple(g), tuple(norms)))
+        g = list(g)
 
     s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=-2)) for i in range(B)]
 
