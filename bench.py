@@ -35,6 +35,9 @@ REF_1080P_EMBED_S = 33.3
 REF_1080P_EXTRACT_S = 20.2
 REF_BASELINE_FPS = 1.0 / (REF_1080P_EMBED_S + REF_1080P_EXTRACT_S)
 REF_512_GRAY_S = 2.19 + 0.41        # embed + extract, BASELINE.md
+# gray 1080p: the reference does 2 SVDs instead of 6 at embed and 1 of 3 at
+# extract; modeled as one third of the measured color time
+REF_1080P_GRAY_S = (REF_1080P_EMBED_S + REF_1080P_EXTRACT_S) / 3.0
 REF_DETECT_1080P_S = 5.4
 
 
@@ -212,8 +215,8 @@ def bench_robustness(h=1080, w=1920):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="1080p",
-                   choices=["1080p", "512gray", "detect", "video",
-                            "robustness"])
+                   choices=["1080p", "1080pgray", "512gray", "detect",
+                            "video", "robustness"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=12)
     args = p.parse_args()
@@ -225,6 +228,13 @@ def main():
             "metric": "1080p color embed+extract throughput (blocked path)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / REF_BASELINE_FPS, 1)}))
+    elif args.config == "1080pgray":
+        fps = bench_embed_extract(1080, 1920, args.batch, args.iters,
+                                  color=False)
+        print(json.dumps({
+            "metric": "1080p gray embed+extract throughput (blocked path)",
+            "value": round(fps, 2), "unit": "frames/sec/chip",
+            "vs_baseline": round(fps * REF_1080P_GRAY_S, 1)}))
     elif args.config == "512gray":
         fps = bench_embed_extract(512, 512, args.batch * 4, args.iters,
                                   color=False)
