@@ -46,5 +46,6 @@ def _setup_compilation_cache() -> None:
 
 _setup_compilation_cache()
 
-from dctsvd_tpu.api import embed, extract, detect  # noqa: E402,F401
+from dctsvd_tpu.api import (embed, extract, detect,  # noqa: E402,F401
+                            embed_payload, extract_payload)
 from dctsvd_tpu.utils.config import WatermarkConfig  # noqa: E402,F401
