@@ -70,17 +70,17 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
     if color:
         pw = blocked.prepare_wm_color(wm, blk, intra)
         embed = blocked.embed_color_prepared
-        extract = blocked.extract_color
+        extract = blocked.extract_color_prepared
     else:
         pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
         embed = blocked.embed_gray_prepared
-        extract = blocked.extract_gray
+        extract = blocked.extract_gray_prepared
 
     @jax.jit
-    def step(frames, sw, uw, vwt, iblk, iintra, alpha, acc):
+    def step(frames, sw, ebasis, iblk, alpha, acc):
         stego, sc, _, _ = embed.__wrapped__(frames, sw, alpha,
                                             with_metrics=False)
-        rec = extract.__wrapped__(stego, sc, uw, vwt, iblk, iintra, alpha)
+        rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha)
         # acc chains the iterations and depends on every output, so the
         # final host readback forces the whole sequence to have executed.
         acc = (acc + jnp.mean(rec.astype(jnp.float32))
@@ -90,15 +90,14 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
     log(f"compiling embed+extract {h}x{w} batch={batch} color={color} ...")
     t0 = time.time()
     acc = jnp.float32(0.0)
-    stego, rec, acc = step(frames, pw.sw, pw.uw, pw.vwt, pw.inv_blk,
-                           pw.inv_intra, alpha, acc)
+    stego, rec, acc = step(frames, pw.sw, pw.ebasis, pw.inv_blk, alpha, acc)
     _ = float(acc)   # sync
     log(f"compile+first: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(iters):
-        stego, rec, acc = step(frames, pw.sw, pw.uw, pw.vwt, pw.inv_blk,
-                               pw.inv_intra, alpha, acc)
+        stego, rec, acc = step(frames, pw.sw, pw.ebasis, pw.inv_blk,
+                               alpha, acc)
     _ = float(acc)   # single sync for the whole chain
     dt = time.time() - t0
     fps = batch * iters / dt
@@ -178,38 +177,81 @@ def bench_video(frames=150, h=1080, w=1920, interval=10):
     return frames / dt
 
 
-def bench_robustness(h=1080, w=1920):
-    """BASELINE config 5: detect score under JPEG q50 / Gaussian noise /
-    25% crop attacks on a blocked-path stego."""
+def _host_nc(a, b):
+    a = a.astype(np.float32).ravel() - a.mean()
+    b = b.astype(np.float32).ravel() - b.mean()
+    return float(np.dot(a, b)
+                 / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-8))
+
+
+def _host_ssim(img1, img2):
+    import cv2
+    img1 = img1.astype(np.float32)
+    img2 = img2.astype(np.float32)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    k, s = (11, 11), 1.5
+    mu1, mu2 = cv2.GaussianBlur(img1, k, s), cv2.GaussianBlur(img2, k, s)
+    s1 = cv2.GaussianBlur(img1 * img1, k, s) - mu1 * mu1
+    s2 = cv2.GaussianBlur(img2 * img2, k, s) - mu2 * mu2
+    s12 = cv2.GaussianBlur(img1 * img2, k, s) - mu1 * mu2
+    num = (2 * mu1 * mu2 + c1) * (2 * s12 + c2)
+    den = (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2) + 1e-12
+    return float(np.mean(num / den))
+
+
+def bench_robustness(h=2160, w=3840,
+                     alphas=(0.10, 0.13, 0.16, 0.19, 0.22)):
+    """BASELINE config 5 as written: 4K host, JPEG q50 / Gaussian noise /
+    25%-crop attacks, scored BOTH by detect and by extract + the
+    NLM/CLAHE/unsharp enhancement chain (NC + SSIM vs the embedded
+    watermark), swept over alpha 0.10-0.22."""
     import cv2
     import jax.numpy as jnp
     from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.models import enhance as m_enhance
     from dctsvd_tpu.ops import color as c_ops
 
     frames, wm, blk, intra = _inputs(1, h, w)
-    alpha = jnp.float32(0.12)
-    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
-    stego, sc, _, _ = blocked.embed_gray_prepared(frames, pw.sw, alpha)
-    stego_np = np.asarray(stego)[0]
+    wm_gray_d = c_ops.bgr_to_gray(wm)
+    wm_gray = np.asarray(wm_gray_d)
+    pw = blocked.prepare_wm_gray(wm_gray_d, blk, intra)
 
-    def score(img):
-        return float(blocked.detect_gray(jnp.asarray(img[None]), sc,
-                                         pw.sw, alpha)[0])
+    def attacks(stego_np):
+        ok, enc = cv2.imencode(".jpg", stego_np,
+                               [cv2.IMWRITE_JPEG_QUALITY, 50])
+        rng = np.random.default_rng(7)
+        noisy = np.clip(stego_np.astype(np.float32)
+                        + rng.normal(0, 5, stego_np.shape), 0, 255
+                        ).astype(np.uint8)
+        cropped = stego_np.copy()
+        cropped[: h // 4] = 0        # 25% of rows blanked
+        return {"jpeg_q50": cv2.imdecode(enc, cv2.IMREAD_COLOR),
+                "noise_s5": noisy, "crop25": cropped}
 
-    ok, enc = cv2.imencode(".jpg", stego_np,
-                           [cv2.IMWRITE_JPEG_QUALITY, 50])
-    jpeg = cv2.imdecode(enc, cv2.IMREAD_COLOR)
-    rng = np.random.default_rng(7)
-    noisy = np.clip(stego_np.astype(np.float32)
-                    + rng.normal(0, 5, stego_np.shape), 0, 255
-                    ).astype(np.uint8)
-    cropped = stego_np.copy()
-    cropped[: h // 4] = 0            # 25% of rows blanked
-    scores = {"jpeg_q50": score(jpeg), "noise_s5": score(noisy),
-              "crop25": score(cropped), "clean_host": score(
-                  np.asarray(frames)[0])}
-    log(f"robustness scores: {scores}")
-    return scores
+    table = {}
+    worst_detect = 1.0
+    for a in alphas:
+        alpha = jnp.float32(a)
+        stego, sc, _, _ = blocked.embed_gray_prepared(frames, pw.sw, alpha,
+                                                      with_metrics=False)
+        stego_np = np.asarray(stego)[0]
+        clean = float(blocked.detect_gray(jnp.asarray(frames), sc,
+                                          pw.sw, alpha)[0])
+        row = {"clean_host_detect": round(clean, 4)}
+        for name, img in attacks(stego_np).items():
+            img_d = jnp.asarray(img[None])
+            det = float(blocked.detect_gray(img_d, sc, pw.sw, alpha)[0])
+            rec = np.asarray(blocked.extract_gray_prepared(
+                img_d, sc, pw.ebasis, pw.inv_blk, alpha))[0]
+            rec = m_enhance.enhance_gray_np(rec)
+            row[name] = {"detect": round(det, 4),
+                         "nc": round(_host_nc(rec, wm_gray), 4),
+                         "ssim": round(_host_ssim(rec, wm_gray), 4)}
+            worst_detect = min(worst_detect, det)
+        table[f"alpha={a:.2f}"] = row
+        log(f"alpha={a:.2f}: {row}")
+    log(f"4K robustness sweep table: {json.dumps(table)}")
+    return worst_detect, table
 
 
 def main():

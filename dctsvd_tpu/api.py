@@ -42,10 +42,8 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
     if password:
         nonce = crypto.make_nonce()
         key = crypto.derive_key(password, nonce)
-        idx = crypto.permutation_indices(key, h * w)
     else:
         nonce = key = None
-        idx = np.arange(h * w)
 
     wm_rs = to_numpy(r_ops.resize_area_u8(jnp.asarray(wm), h, w))
 
@@ -55,6 +53,10 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
                                      alpha=alpha, color=color, key=key,
                                      nonce=nonce, kfrac=kfrac)
 
+    # The full-plane Fisher–Yates shuffle is O(H·W) host work the blocked
+    # path never uses — derive it only on the full (parity) path.
+    idx = (crypto.permutation_indices(key, h * w) if key is not None
+           else np.arange(h * w))
     out_path = metaio.default_stego_path(out_path)
     if color:
         res = m_image.embed_color(jnp.asarray(cover), jnp.asarray(wm_rs),
@@ -125,12 +127,14 @@ def extract(stego_path: str, meta_path: str, out_path: str,
         wm = m_image.extract_color(jnp.asarray(stego), jnp.asarray(s_cover),
                                    jnp.asarray(uw), jnp.asarray(vwt),
                                    jnp.asarray(inv), alpha,
-                                   kfrac=meta.kfrac, normalize=normalize)
+                                   kfrac=meta.kfrac, normalize=normalize,
+                                   shape=(h, w))
     else:
         wm = m_image.extract_gray(jnp.asarray(stego), jnp.asarray(s_cover),
                                   jnp.asarray(uw), jnp.asarray(vwt),
                                   jnp.asarray(inv), alpha,
-                                  kfrac=meta.kfrac, normalize=normalize)
+                                  kfrac=meta.kfrac, normalize=normalize,
+                                  shape=(h, w))
     wm_np = to_numpy(wm)
     if enhance:
         from dctsvd_tpu.models import enhance as m_enhance
@@ -167,8 +171,8 @@ def detect(stego_path: str, meta_path: str,
 
 def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
                   alpha: float = 0.1, password: Optional[str] = None,
-                  kfrac: float = K_FRAC_DEFAULT,
-                  repeat: int = 8) -> Tuple[str, str, float, float]:
+                  kfrac: float = K_FRAC_DEFAULT, repeat: int = 8,
+                  method: str = "full") -> Tuple[str, str, float, float]:
     """Embed a text/JSON/bytes payload as a bit-plane watermark.
 
     Implements the legacy core's intended text/JSON capability
@@ -176,6 +180,8 @@ def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
     broken — SURVEY.md §2.2). ``password=None`` is the legacy open mode (no
     permutation, no HMAC); with a password the full secure pipeline applies.
     ``repeat`` adds bit-level repetition coding for robustness.
+    ``method='blocked'`` routes the bit-plane through the throughput
+    scheme (per-8×8-block SVD) instead of the full-frame parity scheme.
     """
     from dctsvd_tpu.models import payload as m_payload
 
@@ -187,11 +193,18 @@ def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
     if password:
         nonce = crypto.make_nonce()
         key = crypto.derive_key(password, nonce)
-        idx = crypto.permutation_indices(key, h * w)
     else:
         nonce = key = None
-        idx = np.arange(h * w)
 
+    if method == "blocked":
+        from dctsvd_tpu.models import blocked as m_blocked
+        return m_blocked.embed_paths(
+            cover, plane, out_path, meta_path, alpha=alpha, color=False,
+            key=key, nonce=nonce, kfrac=kfrac, payload_type=ptype,
+            extra_meta={"repeat": int(repeat)})
+
+    idx = (crypto.permutation_indices(key, h * w) if key is not None
+           else np.arange(h * w))
     res = m_image.embed_gray(jnp.asarray(cover), jnp.asarray(plane),
                              jnp.asarray(idx), jnp.float32(alpha),
                              kfrac=kfrac)
@@ -221,6 +234,16 @@ def extract_payload(stego_path: str, meta_path: str,
     h, w = meta.shape
     repeat = int(meta.arrays.get("repeat", 1))
 
+    if meta.is_blocked:
+        from dctsvd_tpu.models import blocked as m_blocked
+        key = None
+        if meta.digest is not None:
+            crypto.require_password(password)
+            key = crypto.derive_key(password, meta.nonce)
+        plane = m_blocked.extract_array(stego, meta, key, normalize=True)
+        data = m_payload.bitplane_to_bytes(plane, repeat=repeat)
+        return m_payload.bytes_to_payload(data, meta.payload_type)
+
     if meta.digest is not None:
         crypto.require_password(password)
         key = crypto.derive_key(password, meta.nonce)
@@ -240,6 +263,7 @@ def extract_payload(stego_path: str, meta_path: str,
                                  jnp.asarray(meta.arrays["Uw"]),
                                  jnp.asarray(meta.arrays["Vwt"]),
                                  jnp.asarray(inv), jnp.float32(meta.alpha),
-                                 kfrac=meta.kfrac, normalize=True)
+                                 kfrac=meta.kfrac, normalize=True,
+                                 shape=(h, w))
     data = m_payload.bitplane_to_bytes(to_numpy(plane), repeat=repeat)
     return m_payload.bytes_to_payload(data, meta.payload_type)

@@ -146,7 +146,8 @@ def _run(args) -> int:
         meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
         out, meta_p, ps, ss = api.embed_payload(
             args.cover, payload, args.out, meta, alpha=args.alpha,
-            password=args.password, kfrac=args.kfrac, repeat=args.repeat)
+            password=args.password, kfrac=args.kfrac, repeat=args.repeat,
+            method=args.method)
         print(json.dumps({"stego": out, "meta": meta_p,
                           "psnr": round(ps, 2)}))
     elif args.cmd == "extract-payload":

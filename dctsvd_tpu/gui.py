@@ -85,6 +85,14 @@ def main():  # pragma: no cover - interactive
 
     def do_embed():
         try:
+            # The reference app refuses to embed without a password
+            # (an empty field would silently select the unprotected open
+            # mode — a security footgun); require it explicitly here.
+            if not pwd_v.get():
+                info_v.set("ERROR: password required (the open, "
+                           "password-less mode is available via the "
+                           "library API / CLI only).")
+                return
             outp = out_v.get() or "stego.png"
             meta = os.path.splitext(outp)[0] + "_meta.npz"
             out, meta_p, ps, ss = api.embed(

@@ -219,8 +219,20 @@ def save_video_meta(path: str, m: VideoMeta) -> str:
 
 
 def load_video_meta(path: str) -> VideoMeta:
-    data = np.load(path, allow_pickle=True)
-    keys = set(data.files)
+    # Our own writer is pickle-free; only legacy reference-written metas
+    # store pickled object arrays. Try the safe load first (reading every
+    # array — npz members load lazily, so the object-array ValueError only
+    # fires at access time) and fall back to allow_pickle=True ONLY on that
+    # error. A meta from an untrusted source therefore cannot execute
+    # arbitrary code unless it genuinely is the legacy pickled format
+    # (documented trust assumption: legacy metas need a trusted source).
+    data = np.load(path, allow_pickle=False)
+    try:
+        data = {k: data[k] for k in data.files}
+    except ValueError:
+        data = np.load(path, allow_pickle=True)
+        data = {k: data[k] for k in data.files}
+    keys = set(data.keys())
     sv = data["original_singular_values"]
     is_color = bool(data["is_color"]) if "is_color" in keys else False
     if sv.dtype == object:

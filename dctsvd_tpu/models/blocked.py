@@ -35,7 +35,7 @@ axis the distributed layer shards across chips (parallel/).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +115,8 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
             sws = sws[None]                          # [1, N, 8] gray
         elif sws.ndim > 3:
             sws = sws.reshape(-1, *sws.shape[-2:])
-        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(padded, sws)
+        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(padded, sws,
+                                                              k=k)
         return marked[..., :h, :w], sc
 
     coefs = dct.dct2_plane_blocks(padded)
@@ -144,12 +145,28 @@ class PreparedWatermark(NamedTuple):
     ``uw``/``vwt`` are pre-gathered into NATURAL block order so extraction's
     only dynamic gather is the tiny [N, 8] singular-value reorder.
     ``inv_blk``/``inv_intra`` are the inverse permutations extraction needs.
+    ``ebasis`` is the PIXEL-domain per-component reconstruction basis
+    E[..., n, j, :, :] = IDCT_unshuffled(u_j·v_jᵀ) — with it, the whole
+    extract tail (recon einsum + permuted IDCT) collapses to a k-term FMA
+    per pixel (extract_gray_prepared), the serving fast path.
     """
     uw: jax.Array          # [..., N, 8, 8]
     sw: jax.Array          # [..., N, 8]
     vwt: jax.Array         # [..., N, 8, 8]
     inv_blk: jax.Array     # [N]
     inv_intra: jax.Array   # [64]
+    ebasis: jax.Array      # [..., N, 8, 8, 8]
+
+
+def prepare_extract_basis(uw_nat: jax.Array, vwt_nat: jax.Array,
+                          inv_intra: jax.Array) -> jax.Array:
+    """Pixel-domain basis: E[..., n, j, x, y] = Σ_{a,c} T[x,y,a,c] ·
+    U[..., n, a, j] · Vt[..., n, j, c], T the intra-unshuffled IDCT tensor.
+    Linear algebra hoisted out of the per-frame extract: recon then becomes
+    wy_block = Σ_j ŝw[n, j] · E[n, j] (pure pixel-space FMAs, no DCT)."""
+    t = dct.idct_pixel_tensor(BLOCK, row_perm=inv_intra)
+    return jnp.einsum("xyac,...naj,...njc->...njxy", t, uw_nat, vwt_nat,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _prepare(wm_planes: jax.Array, blk_idx: jax.Array,
@@ -163,7 +180,9 @@ def _prepare(wm_planes: jax.Array, blk_idx: jax.Array,
     inv_intra = jnp.argsort(intra_idx)
     uw_nat = jnp.take(uw, inv_blk, axis=-3)
     vwt_nat = jnp.take(vwt, inv_blk, axis=-3)
-    return PreparedWatermark(uw_nat, sw, vwt_nat, inv_blk, inv_intra)
+    ebasis = prepare_extract_basis(uw_nat, vwt_nat, inv_intra)
+    return PreparedWatermark(uw_nat, sw, vwt_nat, inv_blk, inv_intra,
+                             ebasis)
 
 
 @jax.jit
@@ -274,6 +293,53 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     return wy
 
 
+def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
+                             ebasis: jax.Array, inv_blk: jax.Array,
+                             alpha: jax.Array, kfrac: float,
+                             normalize: bool, h: int, w: int) -> jax.Array:
+    """Serving-path extract tail: spectrum -> ŝw gather -> k-term
+    pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
+    k = k_of_block(kfrac)
+    hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
+    s_cw = _plane_spectrum(planes)
+    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
+    blocks = jnp.einsum("...nj,...njxy->...nxy", sw_nat,
+                        ebasis[..., :k, :, :])
+    wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
+    if normalize:
+        lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
+        wy = (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    return wy
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
+                          ebasis: jax.Array, inv_blk: jax.Array,
+                          alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
+                          normalize: bool = True) -> jax.Array:
+    """Gray extract against a PreparedWatermark's pixel basis (serving
+    fast path; same result as extract_gray)."""
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    y = color.luma_f32(stego_bgr_u8)
+    wy = _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
+                                  normalize, h, w)
+    return jnp.clip(wy, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
+                           ebasis: jax.Array, inv_blk: jax.Array,
+                           alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
+                           normalize: bool = True) -> jax.Array:
+    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    wm = _extract_planes_prepared(chans, sc, ebasis, inv_blk, alpha, kfrac,
+                                  normalize, h, w)
+    return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
 def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                  vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
@@ -372,7 +438,10 @@ def _indices(key, h: int, w: int):
 
 def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
                 meta_path: str, *, alpha: float, color: bool, key: bytes,
-                nonce: bytes, kfrac: float):
+                nonce: bytes, kfrac: float, payload_type: str = "image",
+                extra_meta: Optional[dict] = None):
+    """``wm_resized``: H×W×3 BGR for image payloads, or an H×W gray plane
+    (e.g. a payload bit-plane) which skips the gray conversion."""
     h, w = cover.shape[:2]
     blk_idx, intra_idx = _indices(key, h, w)
     if color:
@@ -382,7 +451,8 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
         mode = metaio.MODE_BLOCKED_COLOR
     else:
         from dctsvd_tpu.ops import color as c_ops
-        wm_gray = c_ops.bgr_to_gray(jnp.asarray(wm_resized))
+        wm_in = jnp.asarray(wm_resized)
+        wm_gray = c_ops.bgr_to_gray(wm_in) if wm_in.ndim == 3 else wm_in
         res = embed_gray(jnp.asarray(cover), wm_gray,
                          blk_idx, intra_idx, jnp.float32(alpha), kfrac=kfrac)
         mode = metaio.MODE_BLOCKED_GRAY
@@ -392,10 +462,12 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     sw = np.asarray(res.sw)
     out_path = metaio.default_stego_path(out_path)
     image_io.write_png(out_path, to_numpy(res.stego_bgr))
-    kw = dict(mode=mode, payload_type="image",
+    kw = dict(mode=mode, payload_type=payload_type,
               Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
               shape=np.asarray((h, w)), alpha=float(alpha),
               kfrac=float(kfrac), block=BLOCK)
+    if extra_meta:
+        kw.update(extra_meta)
     if key is not None:
         kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
         kw["digest"] = np.frombuffer(_digest(key, sc, uw, vwt),
@@ -404,8 +476,9 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 
 
-def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
-                  key: bytes, *, normalize: bool, enhance: bool) -> str:
+def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
+                  normalize: bool = True) -> np.ndarray:
+    """HMAC-gated blocked extraction to a u8 array (gray plane or BGR)."""
     h, w = meta.shape
     sc = meta.arrays["Sc"]
     uw = meta.arrays["Uw"]
@@ -426,7 +499,12 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
     wm = fn(jnp.asarray(stego), jnp.asarray(sc), jnp.asarray(uw),
             jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
             kfrac=meta.kfrac, normalize=normalize)
-    wm_np = to_numpy(wm)
+    return to_numpy(wm)
+
+
+def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
+                  key: bytes, *, normalize: bool, enhance: bool) -> str:
+    wm_np = extract_array(stego, meta, key, normalize=normalize)
     if enhance:
         from dctsvd_tpu.models import enhance as m_enhance
         wm_np = (m_enhance.enhance_color_np(wm_np)

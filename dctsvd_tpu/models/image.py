@@ -123,17 +123,24 @@ def embed_color(cover_bgr_u8: jax.Array, wm_bgr_u8: jax.Array,
     return ColorEmbedResult(stego, sc, uw, vwt, sw, ps, ss)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "shape"))
 def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                  vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
                  kfrac: float = K_FRAC_DEFAULT,
-                 normalize: bool = True) -> jax.Array:
+                 normalize: bool = True, shape=None) -> jax.Array:
     """Gray extract up to the u8 watermark plane, pre-enhancement
     (ref: app_dct_svd_single.py:203-222). NLM/CLAHE/unsharp are applied by
     the caller (models.enhance) to mirror the reference's try/except
     graceful-degradation contract.
+
+    ``shape`` is the meta's recorded (H, W): the watermark canvas and the
+    unpermute are sized from it, so a stego that was resized relative to
+    the meta still extracts (the reference sizes Wm_full and the
+    permutation from the meta's H, W — ref: app_dct_svd_single.py:210-220).
+    Defaults to the stego's own shape.
     """
-    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    h, w = shape or (stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2])
     y = color.luma_f32(stego_bgr_u8)
     cw = dct.dct2(y)
     s_cw = svd.svd_full(cw, compute_uv=False)
@@ -156,13 +163,15 @@ def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "shape"))
 def extract_color(stego_bgr_u8: jax.Array, s_cover: jax.Array, uw: jax.Array,
                   vwt: jax.Array, inv_idx: jax.Array, alpha: jax.Array,
                   kfrac: float = K_FRAC_DEFAULT,
-                  normalize: bool = True) -> jax.Array:
-    """Color extract, pre-enhancement (ref: app_dct_svd_single.py:232-274)."""
-    h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+                  normalize: bool = True, shape=None) -> jax.Array:
+    """Color extract, pre-enhancement (ref: app_dct_svd_single.py:232-274).
+    ``shape`` = meta's recorded (H, W), see :func:`extract_gray`."""
+    h, w = shape or (stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2])
     chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, 0)
     c = dct.dct2(chans)
     s_cw = svd.svd_full(c, compute_uv=False)      # [3, L]

@@ -173,14 +173,18 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
 
     def _dispatch_batch(planes: np.ndarray):
         """planes: [K, H, W] gray or [K, 3, H, W] color f32. One device
-        round trip for the whole chunk."""
+        round trip for the whole chunk. Only TRANSIENT transport/device
+        errors retry (remote-attachment hiccups, timeouts); programming
+        errors (shape bugs, tracer leaks, OOM-by-construction) surface
+        immediately instead of masquerading as device flakiness."""
+        transient = (jax.errors.JaxRuntimeError, OSError, TimeoutError)
         last_err = None
         for _ in range(retries + 1):
             try:
                 fn = _embed_frame_color if color else _embed_frame_gray
                 marked, s_orig = fn(jnp.asarray(planes), sw_d, alpha_d)
                 return to_numpy(marked), to_numpy(s_orig)
-            except Exception as e:  # transient device failure -> retry
+            except transient as e:
                 last_err = e
                 logger.warning("chunk dispatch failed (%s), retrying", e)
         raise last_err
@@ -219,6 +223,13 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     with video_io.VideoReader(host_path) as reader:
         with video_io.VideoWriter(write_path, reader.fps, reader.width,
                                   reader.height) as writer:
+            # Passthrough frames drain straight to the writer whenever no
+            # marked frame is awaiting its device result ahead of them, and
+            # a buffer cap forces a (partial-chunk) flush otherwise — so
+            # host RAM between flushes is bounded by max_buffered frames
+            # even at large frame_interval × 4K, instead of growing with
+            # the whole inter-chunk window.
+            max_buffered = 32
             for idx, frame in enumerate(reader):
                 if idx % frame_interval == 0:
                     if color:
@@ -231,8 +242,12 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                     slot_counter += 1
                     if len(pending) >= chunk:
                         _flush(writer)
-                else:
+                elif pending or buf:
                     buf.append(("pass", frame))
+                    if len(buf) >= max_buffered:
+                        _flush(writer)
+                else:
+                    writer.write(frame)
                 if progress and idx % progress_every == 0:
                     progress(idx, reader.total_frames)
             _flush(writer)

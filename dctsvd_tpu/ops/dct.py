@@ -149,6 +149,20 @@ def idct2_blocks_to_plane(blocks: jax.Array, h: int, w: int, b: int = 8,
     return out.reshape(*lead, h, w)
 
 
+def idct_pixel_tensor(b: int = 8, row_perm: jax.Array | None = None,
+                      dtype=jnp.float32) -> jax.Array:
+    """T[i, j, a, c] with IDCT_block[i, j] = Σ T[i,j,a,c]·coef[a,c], the
+    same tensor :func:`idct2_blocks_to_plane` contracts against, with the
+    optional intra-block unshuffle folded in. Used to precompute the
+    pixel-domain per-component watermark basis (models/blocked.py
+    prepare_extract_basis)."""
+    t = jnp.asarray(_dct_kron_np(b).transpose(2, 3, 0, 1), dtype)
+    t = t.reshape(b * b, b * b)
+    if row_perm is not None:
+        t = jnp.take(t, row_perm, axis=0)
+    return t.reshape(b, b, b, b)
+
+
 def idct2_blocks(blocks: jax.Array,
                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     b = blocks.shape[-1]

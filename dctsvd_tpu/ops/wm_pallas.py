@@ -204,6 +204,83 @@ def _make_embed_kernel(sweeps: int):
     return kernel
 
 
+def _make_embed_kernel_delta(sweeps: int, k: int):
+    """V-free embed: the round-1 kernel accumulated V through every one of
+    the 140 sweep rotations (~840 full-width vector ops — a third of the
+    kernel's VMEM traffic, which is what bounds it). This variant never
+    accumulates V. Instead:
+
+      C' = C + Σ_{j<k} u_j · sws_j · v̂_jᵀ,   v̂_j = G0ᵀ u_j / s_j
+
+    which is EXACT for the identity part (the round-1 form U·S'·Vᵀ only
+    reproduced C up to Jacobi convergence error) and needs V only for the
+    k masked components. Output pixels are x + idct(delta). Degenerate
+    blocks (s_j ≈ 0, e.g. flat regions) get a relative clamp on 1/s_j so
+    v̂ attenuates to ~0 instead of blowing up — the same graceful "no mark
+    in dead components" behavior the recon form exhibits via u→0.
+    """
+    d = _dct_matrix_np(B).tolist()
+
+    def kernel(x_ref, sws_ref, out_ref, sc_ref):
+        x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
+        xc = [x[:, :, c, :] for c in range(B)]
+        g0 = _dct_cols(xc, d)                        # original coefficients
+        u, s = _jacobi_cols_u(g0, sweeps)
+
+        sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
+        eps = s[0] * 1e-5 + 1e-30                    # relative clamp
+        dcols = [None] * B
+        for j in range(k):
+            coef = sws[:, j, :] / jnp.maximum(s[j], eps)     # [R, Wb]
+            for c in range(B):
+                vjc = jnp.sum(g0[c] * u[j], axis=-2)         # (G0ᵀu_j)[c]
+                term = u[j] * (coef * vjc)[..., None, :]
+                dcols[c] = term if dcols[c] is None else dcols[c] + term
+        y = _idct_cols(dcols, d)
+        out_ref[0] = jnp.stack([xc[c] + y[c] for c in range(B)], axis=2)
+        sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
+
+    return kernel
+
+
+def _jacobi_cols_u(g0, sweeps):
+    """One-sided Jacobi returning only (sorted U columns, sorted S) —
+    same rotations as _jacobi_cols but with no V carried through the
+    sweeps, which removes ~1/3 of the kernel's full-width traffic."""
+    g = list(g0)
+    norms = [jnp.sum(g[i] * g[i], axis=-2) for i in range(B)]
+
+    def sweep(_, carry):
+        g, norms = list(carry[0]), list(carry[1])
+        for p, q in PAIRS:
+            gp, gq = g[p], g[q]
+            app, aqq = norms[p], norms[q]
+            apq = jnp.sum(gp * gq, axis=-2)
+            c, s = _rotation(app, aqq, apq)
+            t = s / c
+            norms[p] = app - t * apq
+            norms[q] = aqq + t * apq
+            c, s = c[..., None, :], s[..., None, :]
+            g[p] = c * gp - s * gq
+            g[q] = s * gp + c * gq
+        return tuple(g), tuple(norms)
+
+    g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
+    g = list(g)
+    s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=-2)) for i in range(B)]
+    u = [g[i] / jnp.maximum(s[i], 1e-30)[..., None, :] for i in range(B)]
+    for i, j in _SORT_NET:
+        swap = s[i] < s[j]
+        si, sj = s[i], s[j]
+        s[i] = jnp.where(swap, sj, si)
+        s[j] = jnp.where(swap, si, sj)
+        sw2 = swap[..., None, :]
+        ui, uj = u[i], u[j]
+        u[i] = jnp.where(sw2, uj, ui)
+        u[j] = jnp.where(sw2, ui, uj)
+    return u, s
+
+
 def _make_spectrum_kernel(sweeps: int):
     # Values-only one-sided Jacobi. (A two-sided Jacobi on the Gram matrix
     # A=GᵀG — fewer ops, no reductions — was prototyped and measured
@@ -252,11 +329,13 @@ def _rows_per_cell(hb: int, wb: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
+                                              "k", "variant"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
                        sweeps: int = _SWEEPS_DEFAULT,
                        rows: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       k: int = B, variant: str = "delta"):
     """Fused blocked embed over f32 planes.
 
     planes:     [..., H, W] f32 (leading dims = batch/channels, flattened to
@@ -265,6 +344,11 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     sws_scaled: [C, N, 8] pre-scaled watermark SVs (α·mask·Sw), C must
                 divide the flattened lead size and is indexed by plane % C
                 (C=1 gray, C=3 per-channel color).
+    k:          number of leading singular components carrying the mark
+                (rows of sws_scaled beyond k must be zero; the delta variant
+                only computes those k rank-1 terms).
+    variant:    'delta' (V-free, see _make_embed_kernel_delta) or 'recon'
+                (round-1 full U·S'·Vᵀ form, kept for A/B comparison).
     Returns (marked [..., H, W] f32, sc [..., N, 8]).
     """
     view, lead, hb, wb = _plane_cols_view(planes)
@@ -274,7 +358,8 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     r = rows or _rows_per_cell(hb, wb)
 
     grid = (p, hb // r)
-    kernel = _make_embed_kernel(sweeps)
+    kernel = (_make_embed_kernel_delta(sweeps, k) if variant == "delta"
+              else _make_embed_kernel(sweeps))
     out_shape = (
         jax.ShapeDtypeStruct(view.shape, planes.dtype),
         jax.ShapeDtypeStruct((p, hb, B, wb), planes.dtype),

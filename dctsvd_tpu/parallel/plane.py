@@ -18,7 +18,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map                      # JAX >= 0.8
+    _CHECK_REP_KW = "check_vma"
+except ImportError:                                # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+    _CHECK_REP_KW = "check_rep"
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dctsvd_tpu.models import blocked
@@ -100,7 +105,8 @@ def plane_detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array, sw: jax.Array,
 
     # the all_gather+median output is replicated by construction, but the
     # static varying-axes checker can't prove it — disable the check
+    # (named check_rep before JAX 0.8, check_vma after)
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(ax), P(ax), P(ax)),
-                   out_specs=P(), check_rep=False)
+                   out_specs=P(), **{_CHECK_REP_KW: False})
     return jax.jit(fn)(stego_bgr_u8, sc, sw)

@@ -81,6 +81,37 @@ def test_prepared_matches_convenience(make_image):
     np.testing.assert_allclose(np.asarray(res.uw), np.asarray(pw.uw))
 
 
+def test_prepared_extract_matches_plain(make_image):
+    """The pixel-basis serving extract must reproduce the einsum extract
+    exactly (same math, reassociated): gray and color."""
+    cover, wm, wm_gray, key, (blk, intra), (iblk, iintra) = _setup(
+        make_image, 64, 80)
+    alpha = jnp.float32(0.12)
+
+    pw = blocked.prepare_wm_gray(jnp.asarray(wm_gray), blk, intra)
+    stego, sc, _, _ = blocked.embed_gray_prepared(jnp.asarray(cover),
+                                                  pw.sw, alpha)
+    plain = np.asarray(blocked.extract_gray(stego, sc, pw.uw, pw.vwt,
+                                            iblk, iintra, alpha))
+    fast = np.asarray(blocked.extract_gray_prepared(stego, sc, pw.ebasis,
+                                                    iblk, alpha))
+    assert np.mean(np.abs(plain.astype(np.float32)
+                          - fast.astype(np.float32))) < 0.02
+    assert np.max(np.abs(plain.astype(np.float32)
+                         - fast.astype(np.float32))) <= 1.0
+
+    pwc = blocked.prepare_wm_color(jnp.asarray(wm), blk, intra)
+    stego_c, sc_c, _, _ = blocked.embed_color_prepared(jnp.asarray(cover),
+                                                       pwc.sw, alpha)
+    plain_c = np.asarray(blocked.extract_color(stego_c, sc_c, pwc.uw,
+                                               pwc.vwt, iblk, iintra, alpha))
+    fast_c = np.asarray(blocked.extract_color_prepared(stego_c, sc_c,
+                                                       pwc.ebasis, iblk,
+                                                       alpha))
+    assert np.mean(np.abs(plain_c.astype(np.float32)
+                          - fast_c.astype(np.float32))) < 0.02
+
+
 def test_batched_frames(make_image):
     """Leading batch dim — the video/throughput shape."""
     cover, wm, wm_gray, key, (blk, intra), invs = _setup(make_image, 64, 64)

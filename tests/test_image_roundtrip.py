@@ -31,18 +31,23 @@ def _paths(tmp_path, cover, wm):
     return cp, wp
 
 
-def test_gray_roundtrip_and_parity(tmp_path, cover, wm):
+def test_gray_roundtrip_and_parity(tmp_path, cover, wm, monkeypatch):
+    # Pin the nonce so our embed and the oracle embed share the exact
+    # permutation/key — this makes the BASELINE tolerances (PSNR Δ ≤ 0.1 dB,
+    # SSIM Δ ≤ 0.001) directly enforceable instead of the loose
+    # different-permutation band.
+    from dctsvd_tpu.utils import crypto
+    monkeypatch.setattr(crypto, "make_nonce", lambda: NONCE)
     cp, wp = _paths(tmp_path, cover, wm)
     out, meta_p, ps, ss = api.embed(
         cp, wp, str(tmp_path / "stego.png"), str(tmp_path / "meta.npz"),
         alpha=0.12, color=False, password=PW)
 
-    # quality parity vs oracle embed with the same nonce is impossible
-    # (nonce is random) — instead check against an oracle embed of our own
-    # key: scores must be in the same band
-    stego_o, meta_o, _ = oracle.embed_gray(cover, wm, 0.12, PW, NONCE)
+    stego_o, meta_o, yw_o = oracle.embed_gray(cover, wm, 0.12, PW, NONCE)
     ps_o = oracle.psnr(cover, stego_o)
-    assert abs(ps - ps_o) < 0.35  # different random permutations
+    ss_o = oracle.ssim(cover, yw_o)
+    assert abs(ps - ps_o) <= 0.1, (ps, ps_o)
+    assert abs(ss - ss_o) <= 0.001, (ss, ss_o)
     assert ps > 20
 
     # our detect on our stego

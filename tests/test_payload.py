@@ -60,3 +60,19 @@ def test_json_payload_with_password(tmp_path, cover_png):
         api.extract_payload(out, mp, password="wrong")
     with pytest.raises(ValueError):
         api.extract_payload(out, mp, password=None)
+
+
+@pytest.mark.parametrize("method", ["full", "blocked"])
+@pytest.mark.parametrize("password", [None, "k3y"])
+def test_payload_both_methods(tmp_path, cover_png, method, password):
+    """embed_payload(method='blocked') routes through the throughput
+    scheme (VERDICT r1 #7); both methods round-trip text exactly."""
+    msg = "blocked payload ✓"
+    out, mp, ps, _ = api.embed_payload(
+        cover_png, msg, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+        alpha=0.15, password=password, method=method)
+    assert ps > 20
+    assert api.extract_payload(out, mp, password=password) == msg
+    if password:
+        with pytest.raises(ValueError):
+            api.extract_payload(out, mp, password="wrong")

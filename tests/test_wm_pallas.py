@@ -37,6 +37,39 @@ def test_embed_matches_xla(data):
                                rtol=0, atol=2e-4 * float(np.asarray(s).max()))
 
 
+def test_embed_delta_variant_matches_recon(data):
+    """The V-free delta kernel must agree with the round-1 recon kernel
+    (identical rotations/S; marked planes differ only by Jacobi
+    convergence error in how the identity part is reproduced)."""
+    planes, sws, h, w, n = data
+    m_rec, sc_rec = wm_pallas.embed_plane_blocks(planes, sws,
+                                                 variant="recon",
+                                                 interpret=True)
+    m_del, sc_del = wm_pallas.embed_plane_blocks(planes, sws,
+                                                 variant="delta",
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(sc_rec), np.asarray(sc_del))
+    scale = float(np.abs(np.asarray(m_rec)).max())
+    np.testing.assert_allclose(np.asarray(m_del) / scale,
+                               np.asarray(m_rec) / scale, atol=2e-5)
+
+
+def test_embed_delta_masked_k(data):
+    """With rows >= k zeroed in sws (the production masking), computing
+    only k delta terms is exact."""
+    planes, sws, h, w, n = data
+    mask = (np.arange(8) < 4).astype(np.float32)
+    sws_m = sws * mask
+    m8, sc8 = wm_pallas.embed_plane_blocks(planes, sws_m, k=8,
+                                           interpret=True)
+    m4, sc4 = wm_pallas.embed_plane_blocks(planes, sws_m, k=4,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(sc8), np.asarray(sc4))
+    scale = float(np.abs(np.asarray(m8)).max())
+    np.testing.assert_allclose(np.asarray(m4) / scale,
+                               np.asarray(m8) / scale, atol=1e-6)
+
+
 def test_spectrum_matches_xla(data):
     planes, _, _, _, _ = data
     coefs = dct.dct2_plane_blocks(planes)
