@@ -298,13 +298,12 @@ def main():
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / ref_fps, 1)}))
     else:
-        scores = bench_robustness()
-        attacked = {k: v for k, v in scores.items() if k != "clean_host"}
+        worst, _table = bench_robustness()
         print(json.dumps({
-            "metric": "1080p detect score under JPEG q50/noise/crop attacks"
-                      " (min; threshold 0.6)",
-            "value": round(min(attacked.values()), 4), "unit": "NC score",
-            "vs_baseline": round(min(attacked.values()) / 0.6, 2)}))
+            "metric": "4K detect score under JPEG q50/noise/crop attacks, "
+                      "alpha sweep 0.10-0.22 (min; threshold 0.6)",
+            "value": round(worst, 4), "unit": "NC score",
+            "vs_baseline": round(worst / 0.6, 2)}))
 
 
 if __name__ == "__main__":

@@ -7,17 +7,27 @@ These kernels keep one 8-row band of blocks (``[8, Wb, 8]``, a full block
 row of the frame) resident in VMEM and run the ENTIRE per-block pipeline on
 it in registers:
 
-  embed:    DCT -> one-sided Jacobi (U, S, V) -> S' = S + α·mask·Sw ->
-            U·diag(S')·Vᵀ -> IDCT            (outputs marked plane + Sc)
-  spectrum: DCT -> one-sided Jacobi (S only)  (outputs per-block S — the
+  embed:    one-sided Jacobi (U, S) -> rank-k pixel-domain update
+            (outputs marked plane + Sc)
+  spectrum: one-sided Jacobi (S only) (outputs per-block S — the
             extract/detect front half)
 
-Everything between the plane read and the plane write — coefficients,
-rotations, singular vectors — never touches HBM. Layout: block columns are
-carried as Python lists of ``[8, Wb]`` values (batch of blocks on lanes,
-matrix rows on sublanes); the 8×8 DCT bases are unrolled as Python-float
-constants so each basis multiply is a broadcast FMA, and ``x.at[i].set``
-(scatter — unsupported by Mosaic) never appears.
+The per-block DCT/IDCT the scheme is *defined* with (C = D·X·Dᵀ) is
+algebraically absent from these kernels: D is orthogonal, so the singular
+values of C equal those of X, and the DCT-domain rank-1 update
+α·sw_j·u_j·v_jᵀ maps exactly to the pixel-domain update
+α·sw_j·(Dᵀu_j)(Dᵀv_j)ᵀ where Dᵀu_j/Dᵀv_j are X's own singular vectors —
+so running Jacobi directly on pixel blocks produces bit-for-tolerance the
+same S and the same marked plane while deleting ~256 of the kernel's
+full-width vector ops (the DCT/IDCT basis FMAs). The XLA composition
+(ops/dct.py + ops/svd.py) keeps the explicit DCT form and is the parity
+oracle for these kernels.
+
+Everything between the plane read and the plane write — rotations,
+singular vectors — never touches HBM. Layout: block columns are carried as
+Python lists of ``[8, Wb]`` values (batch of blocks on lanes, matrix rows
+on sublanes); ``x.at[i].set`` (scatter — unsupported by Mosaic) never
+appears — list reassignment is pure SSA.
 
 The per-block math matches ops/svd.jacobi_svd + ops/dct exactly (same
 rotation formula, same Batcher ordering network); tests compare against the
@@ -33,7 +43,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dctsvd_tpu.ops.dct import _dct_matrix_np
 from dctsvd_tpu.ops.svd_pallas import _SORT_NET, _rotation
 
 B = 8                       # block size
@@ -42,10 +51,16 @@ B = 8                       # block size
 # of 4 disjoint pairs, phase-batched for ILP) was measured on hardware and
 # gave ZERO speedup — the kernel's vector-op retire rate is the bound, not
 # the dependency chain — while costing one extra sweep of convergence, so
-# cyclic wins. Sweeps: DCT blocks converge to 1.4e-6 relative in 4 cyclic
-# sweeps, but matrices with clustered singular values (random Gaussian)
-# need 5 for orthogonal U — keep 5 as the safe default.
-_SWEEPS_DEFAULT = 5
+# cyclic wins. Sweeps: pixel/DCT image blocks converge to ~1e-6 relative in
+# 4 cyclic sweeps (round-1 measurement), and end-to-end quality (stego
+# PSNR, extraction NC, detect score, JPEG-q50 robustness) measured
+# IDENTICAL to 4 decimal places at sweeps 3/4/5 on 1080p — embed and
+# extract run the same schedule on nearby matrices, so residual
+# convergence error cancels in (s_cw − sc). 4 keeps individual spectra at
+# the f32 floor for cross-path workflows (embed on TPU kernels, extract
+# via the XLA composition or vice versa), where the cancellation argument
+# does not apply.
+_SWEEPS_DEFAULT = 4
 # Mosaic assigns a stack slot per live SSA value; the unrolled 28-pair
 # sweep body keeps ~300 [R, 8, Wb] values live, which overflows the
 # default 16 MiB scoped-vmem budget for useful R — raise it (v5e has
@@ -54,45 +69,21 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 PAIRS = [(p, q) for p in range(B - 1) for q in range(p + 1, B)]
 
 
-def _left_mul_rows(m, a_j):
-    """rows of (M · A_j) for an 8×8 python-float matrix M and [..., 8, W]
-    A_j: out[..., i, :] = Σ_k M[i][k] · A_j[..., k, :]. Built row-by-row
-    with scalar FMAs (pallas kernels may not capture constant arrays)."""
-    rows = []
-    for i in range(B):
-        acc = a_j[..., 0, :] * m[i][0]
-        for k in range(1, B):
-            acc = acc + a_j[..., k, :] * m[i][k]
-        rows.append(acc)                             # [..., W]
-    return jnp.stack(rows, axis=-2)                  # [..., 8, W]
+def _sum_rows(v):
+    """Σ over the 8-row (second-minor) axis: [..., 8, W] -> [..., W].
 
-
-def _dct_cols(xc, d):
-    """Block DCT in column layout: xc = list of 8 [8, W] column values.
-    C = D X Dᵀ. Returns list of 8 [8, W] coefficient columns."""
-    # right-multiply: A = X Dᵀ  =>  a[j] = Σ_c xc[c] · D[j, c]
-    a = []
-    for j in range(B):
-        acc = xc[0] * d[j][0]
-        for c in range(1, B):
-            acc = acc + xc[c] * d[j][c]
-        a.append(acc)
-    # left-multiply: C = D A
-    return [_left_mul_rows(d, a[j]) for j in range(B)]
-
-
-def _idct_cols(cc, d):
-    """Inverse: Y = Dᵀ C D in column layout."""
-    # right-multiply: E = C D  =>  e[j] = Σ_c cc[c] · D[c, j]
-    e = []
-    for j in range(B):
-        acc = cc[0] * d[0][j]
-        for c in range(1, B):
-            acc = acc + cc[c] * d[c][j]
-        e.append(acc)
-    # left-multiply: Y = Dᵀ E, (Dᵀ)[i][k] = D[k][i]
-    dt = [[d[k][i] for k in range(B)] for i in range(B)]
-    return [_left_mul_rows(dt, e[j]) for j in range(B)]
+    A halving add tree instead of ``jnp.sum(axis=-2)``: the kernels now feed
+    raw slices of the input window (``x[:, :, c, :]``) straight into dots,
+    and those carry non-zero sublane-offset layouts that Mosaic's
+    ``vector.multi_reduction`` rejects ("input layout must have zero
+    offsets over dimensions that are being reduced") — adds are
+    offset-tolerant, and the final [..., 0, :] lands on a zero-offset
+    sublane. Same op count as the lowered reduction (3 adds).
+    """
+    t = v[..., 0:4, :] + v[..., 4:8, :]
+    t = t[..., 0:2, :] + t[..., 2:4, :]
+    t = t[..., 0:1, :] + t[..., 1:2, :]
+    return t[..., 0, :]
 
 
 def _jacobi_cols(g, sweeps, compute_uv):
@@ -115,7 +106,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
     # Measured perf-neutral on v5e (the kernel is bound by sequential
     # vector-op issue, not op mix) but strictly less work; final singular
     # values still come from fresh norms.
-    norms = [jnp.sum(g[i] * g[i], axis=-2) for i in range(B)]
+    norms = [_sum_rows(g[i] * g[i]) for i in range(B)]
 
     def sweep(_, carry):
         if compute_uv:
@@ -126,7 +117,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
         for p, q in PAIRS:
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
-            apq = jnp.sum(gp * gq, axis=-2)
+            apq = _sum_rows(gp * gq)
             c, s = _rotation(app, aqq, apq)
             t = s / c
             norms[p] = app - t * apq
@@ -151,7 +142,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
                                  (tuple(g), tuple(norms)))
         g = list(g)
 
-    s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=-2)) for i in range(B)]
+    s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
 
     if not compute_uv:
         for i, j in _SORT_NET:
@@ -178,13 +169,14 @@ def _jacobi_cols(g, sweeps, compute_uv):
 
 
 def _make_embed_kernel(sweeps: int):
-    d = _dct_matrix_np(B).tolist()                   # python-float constants
+    """Full-recon variant: Y' = Ux·diag(S')·Vxᵀ on the PIXEL block (exact
+    analog of U·diag(S')·Vᵀ in DCT domain — orthogonal invariance, see
+    module docstring). Kept for A/B comparison with the delta variant."""
 
     def kernel(x_ref, sws_ref, out_ref, sc_ref):
         x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]       # R×[?]: [R, 8, Wb]
-        coefs = _dct_cols(xc, d)
-        u, s, v = _jacobi_cols(coefs, sweeps, compute_uv=True)
+        u, s, v = _jacobi_cols(xc, sweeps, compute_uv=True)
 
         sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
         s2 = [s[j] + sws[:, j, :] for j in range(B)]
@@ -197,8 +189,7 @@ def _make_embed_kernel(sweeps: int):
                 acc = acc + u[j] * (s2[j] * v[j][:, k, :])[:, None, :]
             cw.append(acc)
 
-        y = _idct_cols(cw, d)
-        out_ref[0] = jnp.stack(y, axis=2)            # [R, 8, 8, Wb]
+        out_ref[0] = jnp.stack(cw, axis=2)           # [R, 8, 8, Wb]
         sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
 
     return kernel
@@ -210,34 +201,43 @@ def _make_embed_kernel_delta(sweeps: int, k: int):
     kernel's VMEM traffic, which is what bounds it). This variant never
     accumulates V. Instead:
 
-      C' = C + Σ_{j<k} u_j · sws_j · v̂_jᵀ,   v̂_j = G0ᵀ u_j / s_j
+      X' = X + Σ_{j<k} u_j · sws_j · v̂_jᵀ,   v̂_j = Xᵀu_j / ‖Xᵀu_j‖
 
-    which is EXACT for the identity part (the round-1 form U·S'·Vᵀ only
-    reproduced C up to Jacobi convergence error) and needs V only for the
-    k masked components. Output pixels are x + idct(delta). Degenerate
-    blocks (s_j ≈ 0, e.g. flat regions) get a relative clamp on 1/s_j so
-    v̂ attenuates to ~0 instead of blowing up — the same graceful "no mark
-    in dead components" behavior the recon form exhibits via u→0.
+    run directly on the PIXEL block X (orthogonal invariance — module
+    docstring): u_j here is X's own left singular vector = Dᵀ·(DCT-domain
+    u_j), so the update equals the scheme's DCT-domain rank-1 spread
+    exactly, with no DCT/IDCT in the kernel at all. It is EXACT for the
+    identity part (X passes through untouched) and needs V only for the
+    k masked components.
+
+    v̂_j normalizes by the MEASURED norm of Xᵀu_j, not by 1/s_j: when s_j
+    is near zero, Xᵀu_j is dominated by the Jacobi convergence residual
+    (u_j not yet orthogonal to the big left singular vectors leaks
+    ε·s_max into it), and a clamped 1/s_j would amplify that residual by
+    sws_j/eps — measured blowing a 0.5-unit spread into ~340 units of
+    stray energy on blocks with s_min ~ 1e-7·s_max. Dividing by the
+    actual norm makes the painted energy exactly sws_j along the best
+    available direction, and degenerate blocks (‖Xᵀu_j‖→0, e.g. flat
+    regions) attenuate gracefully through the eps² floor in rsqrt.
     """
-    d = _dct_matrix_np(B).tolist()
 
     def kernel(x_ref, sws_ref, out_ref, sc_ref):
         x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
-        xc = [x[:, :, c, :] for c in range(B)]
-        g0 = _dct_cols(xc, d)                        # original coefficients
-        u, s = _jacobi_cols_u(g0, sweeps)
+        xc = [x[:, :, c, :] for c in range(B)]       # pixel columns = G0
+        u, s = _jacobi_cols_u(xc, sweeps)
 
         sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
-        eps = s[0] * 1e-5 + 1e-30                    # relative clamp
-        dcols = [None] * B
+        eps2 = (s[0] * 1e-5) ** 2 + 1e-30            # relative floor
+        ycols = list(xc)
         for j in range(k):
-            coef = sws[:, j, :] / jnp.maximum(s[j], eps)     # [R, Wb]
+            vj = [_sum_rows(xc[c] * u[j]) for c in range(B)]  # (Xᵀu_j)[c]
+            nrm2 = vj[0] * vj[0]
+            for c in range(1, B):
+                nrm2 = nrm2 + vj[c] * vj[c]
+            coef = sws[:, j, :] * jax.lax.rsqrt(nrm2 + eps2)
             for c in range(B):
-                vjc = jnp.sum(g0[c] * u[j], axis=-2)         # (G0ᵀu_j)[c]
-                term = u[j] * (coef * vjc)[..., None, :]
-                dcols[c] = term if dcols[c] is None else dcols[c] + term
-        y = _idct_cols(dcols, d)
-        out_ref[0] = jnp.stack([xc[c] + y[c] for c in range(B)], axis=2)
+                ycols[c] = ycols[c] + u[j] * (coef * vj[c])[..., None, :]
+        out_ref[0] = jnp.stack(ycols, axis=2)        # [R, 8, 8, Wb]
         sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
 
     return kernel
@@ -248,14 +248,14 @@ def _jacobi_cols_u(g0, sweeps):
     same rotations as _jacobi_cols but with no V carried through the
     sweeps, which removes ~1/3 of the kernel's full-width traffic."""
     g = list(g0)
-    norms = [jnp.sum(g[i] * g[i], axis=-2) for i in range(B)]
+    norms = [_sum_rows(g[i] * g[i]) for i in range(B)]
 
     def sweep(_, carry):
         g, norms = list(carry[0]), list(carry[1])
         for p, q in PAIRS:
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
-            apq = jnp.sum(gp * gq, axis=-2)
+            apq = _sum_rows(gp * gq)
             c, s = _rotation(app, aqq, apq)
             t = s / c
             norms[p] = app - t * apq
@@ -267,7 +267,7 @@ def _jacobi_cols_u(g0, sweeps):
 
     g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
     g = list(g)
-    s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=-2)) for i in range(B)]
+    s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
     u = [g[i] / jnp.maximum(s[i], 1e-30)[..., None, :] for i in range(B)]
     for i, j in _SORT_NET:
         swap = s[i] < s[j]
@@ -287,16 +287,88 @@ def _make_spectrum_kernel(sweeps: int):
     # SLOWER on v5e (36.5 vs 32 ms for 777k blocks): the kernel is bound by
     # serialized vector-op retire rate, not op mix, so the simpler
     # formulation that shares _jacobi_cols with the embed kernel wins.)
-    d = _dct_matrix_np(B).tolist()
+    # Runs on pixel columns directly — S(D·X·Dᵀ) = S(X), module docstring.
 
     def kernel(x_ref, s_ref):
         x = x_ref[0]
         xc = [x[:, :, c, :] for c in range(B)]
-        coefs = _dct_cols(xc, d)
-        s = _jacobi_cols(coefs, sweeps, compute_uv=False)
+        s = _jacobi_cols(xc, sweeps, compute_uv=False)
         s_ref[0] = jnp.stack(s, axis=1)              # [R, 8, Wb]
 
     return kernel
+
+
+def _make_spectrum_gram_kernel(sweeps: int):
+    """Values-only spectrum via two-sided Jacobi on the Gram matrix
+    A = XᵀX, carried as 36 SCALAR ([R, Wb]) values instead of 8 full-width
+    ([R, 8, Wb]) columns.
+
+    Why this beats the one-sided form for S-only: a one-sided rotation
+    costs ~10 full-width vector instructions (dot + two column updates);
+    the Gram rotation costs ~34 instructions but each is 1/8 the data —
+    at LARGE row tiles (R·Wb ≈ 32k, vs the one-sided kernel's 2.4k cap,
+    possible because the live set shrinks from ~20 full-width values to 36
+    scalars) every scalar instruction still covers ~32 vregs, so the
+    kernel becomes data-throughput- instead of issue-bound. The round-1
+    A/B that measured the Gram form SLOWER ran it at the one-sided tile
+    size, where [R, Wb] values are ~2 vregs and issue overhead dominates.
+
+    Numerics: forming A squares the condition number, so singular values
+    below ~sqrt(eps_f32)·s_max lose relative precision — irrelevant here
+    because (a) detection NC is dominated by the large components and (b)
+    extraction divides (s_cw − sc) by alpha where both spectra carry the
+    same floor. Convergence matches the one-sided kernel (it IS the same
+    rotation sequence on the same implicit matrix).
+    """
+
+    def kernel(x_ref, s_ref):
+        x = x_ref[0]                                 # [R, 8, 8, Wb]
+        xc = [x[:, :, c, :] for c in range(B)]
+        keys = [(i, j) for i in range(B) for j in range(i, B)]
+        a = {(i, j): _sum_rows(xc[i] * xc[j]) for (i, j) in keys}
+
+        def sweep(_, carry):
+            a = dict(zip(keys, carry))
+            for p, q in PAIRS:
+                app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
+                c, s = _rotation(app, aqq, apq)
+                t = s / c
+                for r in range(B):
+                    if r == p or r == q:
+                        continue
+                    kp = (r, p) if r < p else (p, r)
+                    kq = (r, q) if r < q else (q, r)
+                    arp, arq = a[kp], a[kq]
+                    a[kp] = c * arp - s * arq
+                    a[kq] = s * arp + c * arq
+                a[(p, p)] = app - t * apq
+                a[(q, q)] = aqq + t * apq
+                a[(p, q)] = jnp.zeros_like(apq)      # annihilated exactly
+            return tuple(a[k] for k in keys)
+
+        vals = jax.lax.fori_loop(0, sweeps, sweep,
+                                 tuple(a[k] for k in keys))
+        a = dict(zip(keys, vals))
+        s = [jnp.sqrt(jnp.maximum(a[(i, i)], 0.0)) for i in range(B)]
+        for i, j in _SORT_NET:
+            swap = s[i] < s[j]
+            si, sj = s[i], s[j]
+            s[i] = jnp.where(swap, sj, si)
+            s[j] = jnp.where(swap, si, sj)
+        s_ref[0] = jnp.stack(s, axis=1)              # [R, 8, Wb]
+
+    return kernel
+
+
+def _rows_per_cell_gram(hb: int, wb: int) -> int:
+    """Row tile for the Gram spectrum kernel: as LARGE as the live set
+    allows (36 scalar [R, Wb] values + the [R, 8, 8, Wb] input window) —
+    the opposite regime from _rows_per_cell; see _make_spectrum_gram_kernel."""
+    best = 1
+    for r in range(1, hb + 1):
+        if hb % r == 0 and r * wb <= 33000:
+            best = r
+    return best
 
 
 def _plane_cols_view(planes: jax.Array):
@@ -386,17 +458,32 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     return marked, sc_b
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
+                                              "method"))
 def spectrum_plane_blocks(planes: jax.Array,
                           sweeps: int = _SWEEPS_DEFAULT,
                           rows: int | None = None,
-                          interpret: bool = False) -> jax.Array:
-    """Fused DCT + values-only Jacobi: [..., H, W] f32 -> [..., N, 8]."""
+                          interpret: bool = False,
+                          method: str = "onesided") -> jax.Array:
+    """Fused values-only per-block spectrum: [..., H, W] f32 -> [..., N, 8].
+
+    method='onesided' (default): the column-rotation form sharing
+    _jacobi_cols with the embed kernel. method='gram': two-sided Jacobi on
+    the 36-scalar Gram matrix at large row tiles
+    (_make_spectrum_gram_kernel) — measured SLOWER on v5e (39–43 ms vs
+    23 ms per 24×1080p planes at sweeps=4, rows 27/45/135 all tried), the
+    second hardware A/B to show the scalar-carried forms underperform
+    their op count; kept as the documented alternative-formulation verdict.
+    """
     view, lead, hb, wb = _plane_cols_view(planes)
     p = view.shape[0]
-    r = rows or _rows_per_cell(hb, wb)
+    if method == "gram":
+        r = rows or _rows_per_cell_gram(hb, wb)
+        kernel = _make_spectrum_gram_kernel(sweeps)
+    else:
+        r = rows or _rows_per_cell(hb, wb)
+        kernel = _make_spectrum_kernel(sweeps)
     grid = (p, hb // r)
-    kernel = _make_spectrum_kernel(sweeps)
     s = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[pl.BlockSpec((1, r, B, B, wb),
