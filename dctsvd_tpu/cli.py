@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color", action="store_true")
     p.add_argument("--audio", action="store_true",
                    help="preserve audio via ffmpeg (graceful fallback)")
+    p.add_argument("--scheme", choices=["full", "blocked"], default="full",
+                   help="full = reference-parity whole-frame SVD; blocked "
+                        "= fused 8x8 throughput path")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpointed segment writing; rerun with the same "
+                        "args to continue an interrupted embed")
 
     p = sub.add_parser("video-extract")
     p.add_argument("video")
@@ -158,33 +164,29 @@ def _run(args) -> int:
     elif args.cmd == "video-embed":
         from dctsvd_tpu.models import video as m_video
         meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        kw = dict(alpha=args.alpha, frame_interval=args.frame_interval,
+                  scheme=args.scheme, resume=args.resume)
         if args.text and args.audio:
             m_video.embed_text_watermark_video_color_with_audio(
-                args.host, args.text, args.out, meta, alpha=args.alpha,
-                font_size=args.font_size,
-                frame_interval=args.frame_interval)
+                args.host, args.text, args.out, meta,
+                font_size=args.font_size, **kw)
         elif args.audio:
             m_video.embed_watermark_video_color_with_audio(
-                args.host, args.watermark, args.out, meta,
-                alpha=args.alpha, frame_interval=args.frame_interval)
+                args.host, args.watermark, args.out, meta, **kw)
         elif args.text and args.color:
             m_video.embed_text_watermark_video_color(
-                args.host, args.text, args.out, meta, alpha=args.alpha,
-                font_size=args.font_size,
-                frame_interval=args.frame_interval)
+                args.host, args.text, args.out, meta,
+                font_size=args.font_size, **kw)
         elif args.text:
             m_video.embed_text_watermark_video(
-                args.host, args.text, args.out, meta, alpha=args.alpha,
-                font_size=args.font_size,
-                frame_interval=args.frame_interval)
+                args.host, args.text, args.out, meta,
+                font_size=args.font_size, **kw)
         elif args.color:
             m_video.embed_watermark_video_color(
-                args.host, args.watermark, args.out, meta,
-                alpha=args.alpha, frame_interval=args.frame_interval)
+                args.host, args.watermark, args.out, meta, **kw)
         else:
             m_video.embed_watermark_video(
-                args.host, args.watermark, args.out, meta,
-                alpha=args.alpha, frame_interval=args.frame_interval)
+                args.host, args.watermark, args.out, meta, **kw)
         print(json.dumps({"video": args.out, "meta": meta}))
     elif args.cmd == "video-extract":
         from dctsvd_tpu.models import video as m_video

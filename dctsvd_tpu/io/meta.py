@@ -200,6 +200,12 @@ class VideoMeta:
     text: Optional[str] = None
     font_size: Optional[int] = None
     scheme: str = "full"             # 'full' (reference-parity) | 'blocked'
+    kfrac: float = 1.0               # per-block truncation (blocked scheme;
+                                     # 1.0 = full spectrum, the ref behavior)
+    frames_done: int = -1            # resume checkpoint: total frames flushed
+                                     # into finalized output segments
+                                     # (-1 = embed completed, no resume state)
+    segments_done: int = 0           # finalized segment count at checkpoint
 
 
 def save_video_meta(path: str, m: VideoMeta) -> str:
@@ -210,7 +216,9 @@ def save_video_meta(path: str, m: VideoMeta) -> str:
               watermark_shape=np.asarray(m.watermark_shape),
               is_color=bool(m.is_color),
               is_text_watermark=bool(m.is_text),
-              scheme=m.scheme)
+              scheme=m.scheme, kfrac=float(m.kfrac),
+              frames_done=int(m.frames_done),
+              segments_done=int(m.segments_done))
     if m.text is not None:
         kw["text"] = m.text
         kw["font_size"] = int(m.font_size or 40)
@@ -261,4 +269,8 @@ def load_video_meta(path: str) -> VideoMeta:
         text=text,
         font_size=int(data["font_size"]) if "font_size" in keys else None,
         scheme=str(data["scheme"]) if "scheme" in keys else "full",
+        kfrac=float(data["kfrac"]) if "kfrac" in keys else 1.0,
+        frames_done=int(data["frames_done"]) if "frames_done" in keys else -1,
+        segments_done=int(data["segments_done"])
+        if "segments_done" in keys else 0,
     )

@@ -13,9 +13,12 @@ reference (ref: video_dct_svd.pyc l.12-54): probe `ffmpeg -version` with a
 
 from __future__ import annotations
 
+import glob
 import os
+import queue
 import subprocess
-from typing import Dict, Iterator, Optional
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -85,6 +88,145 @@ class VideoWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+def iter_frames_threaded(reader: "VideoReader", start_frame: int = 0,
+                         queue_size: int = 48
+                         ) -> Iterator[Tuple[int, np.ndarray]]:
+    """Yield (index, frame) with decode running in a background thread.
+
+    Decode overlaps the consumer's encode/device work — on a multi-core
+    host this pipelines fully; on a single-vCPU host it still overlaps
+    decode with device-tunnel WAIT time (the round-1 video bottleneck).
+    The queue is bounded so at most ``queue_size`` frames of host RAM are
+    in flight. Exceptions in the decoder thread re-raise at the consumer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+    _SENTINEL = object()
+
+    def _producer():
+        try:
+            if start_frame:
+                reader.cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
+            idx = start_frame
+            while True:
+                ok, frame = reader.cap.read()
+                if not ok:
+                    break
+                q.put((idx, frame))
+                idx += 1
+            q.put(_SENTINEL)
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+class SegmentedVideoWriter:
+    """Checkpointable writer: output accumulates as finalized segment files
+    ``<base>.seg0000.mp4, ...`` so an interrupted run loses at most the
+    segment in progress (an unreleased cv2 VideoWriter file has no moov
+    atom and is unreadable — per-segment release is what makes resume
+    possible at all). ``roll()`` finalizes the current segment;
+    ``finalize()`` concatenates segments into the final path (ffmpeg
+    stream-copy when available, deterministic re-encode otherwise) and
+    removes them.
+    """
+
+    def __init__(self, path: str, fps: float, width: int, height: int,
+                 fourcc: str = "mp4v", start_segment: int = 0,
+                 frames_done: int = 0):
+        self.path = path
+        self.fps, self.width, self.height = fps, width, height
+        self.fourcc = fourcc
+        self.segment = start_segment
+        self.frames_written = frames_done   # total across finalized segments
+        self._seg_frames = 0
+        self._writer: Optional[VideoWriter] = None
+        # drop any partial segment a crashed run left at our start index
+        leftover = self._seg_path(self.segment)
+        if os.path.exists(leftover):
+            os.remove(leftover)
+
+    def _seg_path(self, i: int) -> str:
+        return f"{self.path}.seg{i:04d}.mp4"
+
+    @staticmethod
+    def existing_segments(path: str) -> List[str]:
+        return sorted(glob.glob(f"{glob.escape(path)}.seg[0-9][0-9][0-9][0-9].mp4"))
+
+    def write(self, frame_bgr: np.ndarray):
+        if self._writer is None:
+            self._writer = VideoWriter(self._seg_path(self.segment),
+                                       self.fps, self.width, self.height,
+                                       self.fourcc)
+            self._seg_frames = 0
+        self._writer.write(frame_bgr)
+        self._seg_frames += 1
+
+    def roll(self) -> int:
+        """Finalize the open segment; returns total frames durably written."""
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+            self.frames_written += self._seg_frames
+            self._seg_frames = 0
+            self.segment += 1
+        return self.frames_written
+
+    def finalize(self):
+        self.roll()
+        segs = [self._seg_path(i) for i in range(self.segment)]
+        segs = [s for s in segs if os.path.exists(s)]
+        if not _concat_copy(segs, self.path):
+            # deterministic fallback: re-encode segment frames in order
+            with VideoWriter(self.path, self.fps, self.width, self.height,
+                             self.fourcc) as out:
+                for s in segs:
+                    with VideoReader(s) as r:
+                        for frame in r:
+                            out.write(frame)
+        for s in segs:
+            os.remove(s)
+
+    def close(self):
+        self.roll()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _concat_copy(segments: List[str], out_path: str,
+                 timeout: float = 120.0) -> bool:
+    """Lossless segment concatenation via ffmpeg's concat demuxer."""
+    if not segments or not ffmpeg_available():
+        return False
+    lst = out_path + ".concat.txt"
+    try:
+        with open(lst, "w") as f:
+            for s in segments:
+                f.write(f"file '{os.path.abspath(s)}'\n")
+        res = subprocess.run(
+            ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", lst,
+             "-c", "copy", out_path],
+            capture_output=True, timeout=timeout)
+        return res.returncode == 0 and os.path.exists(out_path)
+    except (subprocess.TimeoutExpired, Exception):
+        return False
+    finally:
+        if os.path.exists(lst):
+            os.remove(lst)
 
 
 def get_video_info(path: str) -> Dict:

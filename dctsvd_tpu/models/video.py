@@ -26,6 +26,8 @@ full spectrum).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -34,9 +36,11 @@ import numpy as np
 
 from dctsvd_tpu.io import meta as metaio
 from dctsvd_tpu.io import video_io
+from dctsvd_tpu.models import blocked as m_blocked
 from dctsvd_tpu.models.text import create_text_watermark
 from dctsvd_tpu.ops import dct, resize, svd
-from dctsvd_tpu.utils.config import ALPHA_VIDEO_DEFAULT, FRAME_INTERVAL_DEFAULT
+from dctsvd_tpu.utils.config import (ALPHA_VIDEO_DEFAULT,
+                                     FRAME_INTERVAL_DEFAULT, K_FRAC_DEFAULT)
 from dctsvd_tpu.utils.xfer import to_numpy
 
 # cv2's gray conversions at the host boundary keep parity with the
@@ -90,6 +94,56 @@ def _frame_singular_values(gray_f32: jax.Array):
     return svd.svd_full(dct.dct2(gray_f32), compute_uv=False)
 
 
+# --- blocked-scheme graphs (scheme='blocked': the 8×8 throughput path
+# wired into video per VideoMeta.scheme; same additive spread rule at
+# block granularity, kfrac-truncated like the blocked image scheme) ------
+
+@jax.jit
+def _wm_svd_blocked(wm_gray: jax.Array):
+    """One-time per-8×8-block watermark factorization (no permutation —
+    the reference video path has no password layer)."""
+    padded, _, _ = m_blocked._pad_to_blocks(wm_gray.astype(jnp.float32))
+    coefs = dct.dct2_plane_blocks(padded)
+    return svd.jacobi_svd(coefs, compute_uv=True)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def _embed_frame_gray_blocked(gray_f32: jax.Array, sw: jax.Array,
+                              alpha: jax.Array,
+                              kfrac: float = K_FRAC_DEFAULT):
+    """[..., H, W] gray frame(s) through the fused blocked embed.
+    Returns (marked_u8, per-block original S [..., N, 8])."""
+    marked, s = m_blocked._embed_planes(gray_f32, sw, alpha, kfrac)
+    return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def _embed_frame_color_blocked(bgr_f32: jax.Array, sw: jax.Array,
+                               alpha: jax.Array,
+                               kfrac: float = K_FRAC_DEFAULT):
+    """[..., 3, H, W] channel-first color frame(s); the same grayscale
+    watermark block-SVs spread into every channel."""
+    marked, s = m_blocked._embed_planes(bgr_f32, sw, alpha, kfrac)
+    return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "h", "w"))
+def _recover_wm_blocked(planes_f32: jax.Array, s_orig: jax.Array,
+                        uw: jax.Array, vwt: jax.Array, alpha: jax.Array,
+                        kfrac: float, h: int, w: int):
+    """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
+    to the k embedded components, rank-restored through the watermark's
+    block bases, inverse block-DCT."""
+    s_now = m_blocked._plane_spectrum(planes_f32)
+    k = m_blocked.k_of_block(kfrac)
+    mask = jnp.arange(s_now.shape[-1]) < k
+    sw_hat = jnp.where(mask, (s_now - s_orig) / alpha, 0.0)
+    blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
+                        precision=jax.lax.Precision.HIGHEST)
+    hp, wp = h + (-h) % 8, w + (-w) % 8
+    return dct.idct2_blocks_to_plane(blocks, hp, wp)[..., :h, :w]
+
+
 @jax.jit
 def _recover_wm(s_now: jax.Array, s_orig: jax.Array, uw: jax.Array,
                 vtw: jax.Array, alpha: jax.Array):
@@ -132,7 +186,10 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                       progress_every: int = 100,
                       progress: Optional[Callable[[int, int], None]] = None,
                       temp_suffix: str = "", retries: int = 2,
-                      checkpoint_every: int = 64, chunk: int = 4):
+                      checkpoint_every: int = 64, chunk: int = 4,
+                      scheme: str = "full",
+                      kfrac: Optional[float] = None,
+                      resume: bool = False, segment_frames: int = 240):
     """Shared embed loop. Writes to out_path+temp_suffix (the with-audio
     variants remux afterwards).
 
@@ -140,36 +197,74 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     formulation of BASELINE config 4): frames buffer in arrival order, each
     full chunk runs ONE batched embed graph, and the buffer flushes to the
     writer strictly in order — device compute overlaps the host's decode of
-    the next window. Partial final chunks pad by repetition (single compiled
-    shape) and drop the padding on write-back.
+    the next window (decode itself runs in a background thread,
+    video_io.iter_frames_threaded). Partial final chunks pad by repetition
+    (single compiled shape) and drop the padding on write-back.
+
+    ``scheme='full'`` is the reference-parity whole-frame SVD
+    (ref: video_dct_svd.pyc l.121-160); ``scheme='blocked'`` routes frames
+    through the fused 8×8 throughput path (kfrac-truncated per block) and
+    tags the meta so extraction dispatches on ``VideoMeta.scheme``.
 
     Failure handling (SURVEY.md §5): each device dispatch retries up to
     ``retries`` times (transient device/tunnel failures), and the meta
-    checkpoints to ``meta_path`` every ``checkpoint_every`` marked frames —
-    metas store absolute frame indices, so a partially-written output is
-    already extractable up to the last flushed chunk, and a rerun is
-    deterministic (same watermark SVD, same frames).
+    checkpoints to ``meta_path`` every ``checkpoint_every`` marked frames.
+    With ``resume=True`` the output is written as finalized segments of
+    ``segment_frames`` frames (SegmentedVideoWriter) and the checkpoint
+    records how many frames are durably on disk — a rerun with
+    ``resume=True`` skips them, seeks the reader forward, and continues
+    from the last finalized segment; the final output is the segment
+    concatenation, byte-identical to an uninterrupted segmented run.
     """
     from dctsvd_tpu.utils.profiling import Throughput, logger
 
-    uw_d, sw_d, vtw_d = _wm_svd(jnp.asarray(wm_plane))
+    if scheme == "blocked":
+        kfrac = K_FRAC_DEFAULT if kfrac is None else kfrac
+        uw_d, sw_d, vtw_d = _wm_svd_blocked(jnp.asarray(wm_plane))
+    elif scheme == "full":
+        kfrac = 1.0                       # ref video embeds the full spectrum
+        uw_d, sw_d, vtw_d = _wm_svd(jnp.asarray(wm_plane))
+    else:
+        raise ValueError(f"unknown scheme: {scheme!r}")
     alpha_d = jnp.float32(alpha)
 
     write_path = out_path + temp_suffix
     frame_indices = []
     s_list = []
+    start_frame = 0
+    start_segment = 0
+    if resume:
+        prev = _load_resume_state(meta_path, write_path, scheme, alpha,
+                                  frame_interval, color)
+        if prev is not None:
+            start_frame, start_segment, frame_indices, s_list = prev
+            logger.info("resuming video embed at frame %d (segment %d, "
+                        "%d marked frames already recorded)", start_frame,
+                        start_segment, len(frame_indices))
     tp = Throughput(name="video-embed frames", log_every=0)
 
-    def _checkpoint():
+    def _checkpoint(frames_done: int = -1, segments_done: int = 0):
         meta = metaio.VideoMeta(
             frame_indices=np.asarray(frame_indices, np.int64),
             s_orig=np.stack(s_list) if s_list else
             np.zeros((0, 0), np.float32),
             uw=to_numpy(uw_d), sw=to_numpy(sw_d), vtw=to_numpy(vtw_d),
             alpha=alpha, frame_interval=frame_interval,
-            watermark_shape=wm_plane.shape, is_color=color)
+            watermark_shape=wm_plane.shape, is_color=color,
+            scheme=scheme, kfrac=kfrac,
+            frames_done=frames_done, segments_done=segments_done)
         metaio.save_video_meta(meta_path, meta)
         return meta
+
+    if scheme == "blocked":
+        def _embed_fn(planes):
+            fn = (_embed_frame_color_blocked if color
+                  else _embed_frame_gray_blocked)
+            return fn(planes, sw_d, alpha_d, kfrac=kfrac)
+    else:
+        def _embed_fn(planes):
+            fn = _embed_frame_color if color else _embed_frame_gray
+            return fn(planes, sw_d, alpha_d)
 
     def _dispatch_batch(planes: np.ndarray):
         """planes: [K, H, W] gray or [K, 3, H, W] color f32. One device
@@ -181,8 +276,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         last_err = None
         for _ in range(retries + 1):
             try:
-                fn = _embed_frame_color if color else _embed_frame_gray
-                marked, s_orig = fn(jnp.asarray(planes), sw_d, alpha_d)
+                marked, s_orig = _embed_fn(jnp.asarray(planes))
                 return to_numpy(marked), to_numpy(s_orig)
             except transient as e:
                 last_err = e
@@ -193,6 +287,8 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     buf = []
     pending = []           # (slot_id, frame_idx, plane)
     results = {}
+    durable = {"frames": start_frame, "segments": start_segment,
+               "since_roll": 0}
 
     def _flush(writer):
         if pending:
@@ -215,14 +311,34 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                     writer.write(np.ascontiguousarray(np.moveaxis(m, 0, -1)))
                 else:
                     writer.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+            durable["since_roll"] += 1
         buf.clear()
-        if frame_indices and len(frame_indices) % checkpoint_every == 0:
-            _checkpoint()
+        if not _maybe_roll(writer) and frame_indices and \
+                len(frame_indices) % checkpoint_every == 0:
+            _checkpoint(durable["frames"], durable["segments"])
+
+    def _maybe_roll(writer) -> bool:
+        """Finalize the open segment once it reaches segment_frames; all
+        frames written so far are flushed in order, so the durable state
+        checkpointed with it is consistent."""
+        if not (resume and durable["since_roll"] >= segment_frames):
+            return False
+        frames_done = writer.roll()
+        durable.update(frames=frames_done, segments=writer.segment,
+                       since_roll=0)
+        _checkpoint(frames_done, writer.segment)
+        return True
 
     slot_counter = 0
     with video_io.VideoReader(host_path) as reader:
-        with video_io.VideoWriter(write_path, reader.fps, reader.width,
-                                  reader.height) as writer:
+        if resume:
+            writer_cm = video_io.SegmentedVideoWriter(
+                write_path, reader.fps, reader.width, reader.height,
+                start_segment=start_segment, frames_done=start_frame)
+        else:
+            writer_cm = video_io.VideoWriter(write_path, reader.fps,
+                                             reader.width, reader.height)
+        with writer_cm as writer:
             # Passthrough frames drain straight to the writer whenever no
             # marked frame is awaiting its device result ahead of them, and
             # a buffer cap forces a (partial-chunk) flush otherwise — so
@@ -230,7 +346,8 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
             # even at large frame_interval × 4K, instead of growing with
             # the whole inter-chunk window.
             max_buffered = 32
-            for idx, frame in enumerate(reader):
+            for idx, frame in video_io.iter_frames_threaded(
+                    reader, start_frame=start_frame):
                 if idx % frame_interval == 0:
                     if color:
                         plane = np.moveaxis(frame.astype(np.float32), -1, 0)
@@ -248,25 +365,64 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                         _flush(writer)
                 else:
                     writer.write(frame)
+                    durable["since_roll"] += 1
+                    _maybe_roll(writer)
                 if progress and idx % progress_every == 0:
                     progress(idx, reader.total_frames)
             _flush(writer)
+            if resume:
+                writer.finalize()
 
     meta = _checkpoint()
     return write_path, meta_path, meta
+
+
+def _load_resume_state(meta_path: str, write_path: str, scheme: str,
+                       alpha: float, frame_interval: int, color: bool):
+    """Validate a checkpoint meta + finalized segments for resume; returns
+    (start_frame, start_segment, frame_indices, s_list) or None (fresh
+    start). The checkpoint's durable frame count is trusted only when every
+    finalized segment it references still exists."""
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        prev = metaio.load_video_meta(meta_path)
+    except Exception:
+        return None
+    if (prev.frames_done <= 0 or prev.scheme != scheme
+            or prev.is_color != color
+            or abs(prev.alpha - alpha) > 1e-12
+            or prev.frame_interval != frame_interval):
+        return None
+    segs = video_io.SegmentedVideoWriter.existing_segments(write_path)
+    have = {os.path.basename(s) for s in segs}
+    need = {f"{os.path.basename(write_path)}.seg{i:04d}.mp4"
+            for i in range(prev.segments_done)}
+    if not need.issubset(have):
+        return None
+    keep = prev.frame_indices < prev.frames_done
+    return (int(prev.frames_done), int(prev.segments_done),
+            list(prev.frame_indices[keep]),
+            [np.asarray(s) for s in prev.s_orig[keep]])
 
 
 def embed_watermark_video(host_path: str, wm_path: str, out_path: str,
                           meta_path: str,
                           alpha: float = ALPHA_VIDEO_DEFAULT,
                           frame_interval: int = FRAME_INTERVAL_DEFAULT,
-                          progress: Optional[Callable] = None):
-    """Grayscale video embed (ref: video_dct_svd.pyc l.57-167)."""
+                          progress: Optional[Callable] = None,
+                          scheme: str = "full",
+                          resume: bool = False):
+    """Grayscale video embed (ref: video_dct_svd.pyc l.57-167).
+    ``scheme='blocked'`` uses the fused 8×8 throughput path;
+    ``resume=True`` writes checkpointable segments and continues an
+    interrupted run from the last finalized segment."""
     info = video_io.get_video_info(host_path)
     wm = _prepare_wm_plane(wm_path, None, 0, info["width"], info["height"])
     _, meta_p, _ = _embed_video_impl(host_path, out_path, meta_path, wm,
                                      alpha, frame_interval, color=False,
-                                     progress=progress)
+                                     progress=progress, scheme=scheme,
+                                     resume=resume)
     return out_path, meta_p
 
 
@@ -275,7 +431,8 @@ def embed_text_watermark_video(host_path: str, text: str, out_path: str,
                                alpha: float = ALPHA_VIDEO_DEFAULT,
                                font_size: int = 40,
                                frame_interval: int = FRAME_INTERVAL_DEFAULT,
-                               progress: Optional[Callable] = None):
+                               progress: Optional[Callable] = None,
+                               scheme: str = "full", resume: bool = False):
     """Text watermark variant (ref: l.318-430); text round-trips through
     the meta, not the pixels (ref: l.433-513)."""
     info = video_io.get_video_info(host_path)
@@ -283,7 +440,8 @@ def embed_text_watermark_video(host_path: str, text: str, out_path: str,
                                font_size)
     _, meta_p, meta = _embed_video_impl(host_path, out_path, meta_path, wm,
                                         alpha, frame_interval, color=False,
-                                        progress=progress)
+                                        progress=progress, scheme=scheme,
+                                        resume=resume)
     meta.is_text = True
     meta.text = text
     meta.font_size = font_size
@@ -295,14 +453,16 @@ def embed_watermark_video_color(host_path: str, wm_path: str, out_path: str,
                                 meta_path: str,
                                 alpha: float = ALPHA_VIDEO_DEFAULT,
                                 frame_interval: int = FRAME_INTERVAL_DEFAULT,
-                                progress: Optional[Callable] = None):
+                                progress: Optional[Callable] = None,
+                                scheme: str = "full", resume: bool = False):
     """Color (per-BGR-channel) embed (ref: color_video_dct_svd.pyc
     l.58-162)."""
     info = video_io.get_video_info(host_path)
     wm = _prepare_wm_plane(wm_path, None, 0, info["width"], info["height"])
     _, meta_p, _ = _embed_video_impl(host_path, out_path, meta_path, wm,
                                      alpha, frame_interval, color=True,
-                                     progress=progress)
+                                     progress=progress, scheme=scheme,
+                                     resume=resume)
     return out_path, meta_p
 
 
@@ -312,14 +472,17 @@ def embed_text_watermark_video_color(host_path: str, text: str,
                                      font_size: int = 40,
                                      frame_interval: int =
                                      FRAME_INTERVAL_DEFAULT,
-                                     progress: Optional[Callable] = None):
+                                     progress: Optional[Callable] = None,
+                                     scheme: str = "full",
+                                     resume: bool = False):
     """(ref: color_video_dct_svd.pyc l.165-269)."""
     info = video_io.get_video_info(host_path)
     wm = create_text_watermark(text, (info["width"], info["height"]),
                                font_size)
     _, meta_p, meta = _embed_video_impl(host_path, out_path, meta_path, wm,
                                         alpha, frame_interval, color=True,
-                                        progress=progress)
+                                        progress=progress, scheme=scheme,
+                                        resume=resume)
     meta.is_text = True
     meta.text = text
     meta.font_size = font_size
@@ -332,14 +495,17 @@ def embed_watermark_video_color_with_audio(host_path: str, wm_path: str,
                                            alpha: float =
                                            ALPHA_VIDEO_DEFAULT,
                                            frame_interval: int =
-                                           FRAME_INTERVAL_DEFAULT):
+                                           FRAME_INTERVAL_DEFAULT,
+                                           scheme: str = "full",
+                                           resume: bool = False):
     """Color embed + ffmpeg audio remux with graceful fallback
     (ref: color_video_dct_svd_with_audio.pyc l.58-179)."""
     info = video_io.get_video_info(host_path)
     wm = _prepare_wm_plane(wm_path, None, 0, info["width"], info["height"])
     temp, meta_p, _ = _embed_video_impl(host_path, out_path, meta_path, wm,
                                         alpha, frame_interval, color=True,
-                                        temp_suffix=".temp.mp4")
+                                        temp_suffix=".temp.mp4",
+                                        scheme=scheme, resume=resume)
     had_audio = video_io.finalize_with_audio(temp, host_path, out_path,
                                              want_audio=True)
     return out_path, meta_p, had_audio
@@ -352,7 +518,9 @@ def embed_text_watermark_video_color_with_audio(host_path: str, text: str,
                                                 ALPHA_VIDEO_DEFAULT,
                                                 font_size: int = 40,
                                                 frame_interval: int =
-                                                FRAME_INTERVAL_DEFAULT):
+                                                FRAME_INTERVAL_DEFAULT,
+                                                scheme: str = "full",
+                                                resume: bool = False):
     """(ref: color_video_dct_svd_with_audio.pyc l.182-~300)."""
     info = video_io.get_video_info(host_path)
     wm = create_text_watermark(text, (info["width"], info["height"]),
@@ -360,7 +528,8 @@ def embed_text_watermark_video_color_with_audio(host_path: str, text: str,
     temp, meta_p, meta = _embed_video_impl(host_path, out_path, meta_path,
                                            wm, alpha, frame_interval,
                                            color=True,
-                                           temp_suffix=".temp.mp4")
+                                           temp_suffix=".temp.mp4",
+                                           scheme=scheme, resume=resume)
     meta.is_text = True
     meta.text = text
     meta.font_size = font_size
@@ -382,6 +551,7 @@ def extract_watermark_video(video_path: str, meta_path: str,
     uw_d = jnp.asarray(meta.uw)
     vtw_d = jnp.asarray(meta.vtw)
     h, w = meta.watermark_shape[:2]
+    blocked_scheme = meta.scheme == "blocked"
 
     acc = None
     count = 0
@@ -396,8 +566,14 @@ def extract_watermark_video(video_path: str, meta_path: str,
         pad = chunk - k
         planes = np.stack(planes_buf + [planes_buf[-1]] * pad)
         sorig = np.stack(sorig_buf + [sorig_buf[-1]] * pad)
-        s_now = _frame_singular_values(jnp.asarray(planes))
-        est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d, alpha_d)
+        if blocked_scheme:
+            est = _recover_wm_blocked(jnp.asarray(planes),
+                                      jnp.asarray(sorig), uw_d, vtw_d,
+                                      alpha_d, meta.kfrac, h, w)
+        else:
+            s_now = _frame_singular_values(jnp.asarray(planes))
+            est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d,
+                              alpha_d)
         if meta.is_color:
             est = jnp.mean(est, axis=-3)             # [K, H, W]
         est_np = np.asarray(jnp.sum(est[:k], axis=0))[:h, :w]
