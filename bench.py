@@ -134,11 +134,13 @@ def bench_detect(h=1080, w=1920, batch=16, iters=32):
     return batch * iters / dt
 
 
-def bench_video(frames=150, h=1080, w=1920, interval=10):
+def bench_video(frames=150, h=1080, w=1920, interval=10, scheme="blocked"):
     """BASELINE config 4: streaming video embed (decode -> chunked batched
     device embed -> encode), end-to-end wall clock including host codecs.
     Reference model: each marked frame costs its measured 1080p CPU
-    dct+svd+recon (~3.45 s, BASELINE.md) -> ~interval/3.45 fps."""
+    dct+svd+recon (~3.45 s, BASELINE.md) -> ~interval/3.45 fps.
+    scheme='blocked' is the framework's video throughput path (fused 8x8
+    kernels); 'full' is the reference-parity whole-frame SVD."""
     import tempfile
     import cv2
     from dctsvd_tpu.models import video as m_video
@@ -165,12 +167,13 @@ def bench_video(frames=150, h=1080, w=1920, interval=10):
     vw.release()
     log("video warmup (compile) ...")
     m_video.embed_watermark_video(warm, wmp, f"{tmp}/warm_out.mp4",
-                                  f"{tmp}/warm_meta.npz", frame_interval=10)
+                                  f"{tmp}/warm_meta.npz", frame_interval=10,
+                                  scheme=scheme)
 
     t0 = time.time()
     m_video.embed_watermark_video(host, wmp, f"{tmp}/out.mp4",
                                   f"{tmp}/meta.npz",
-                                  frame_interval=interval)
+                                  frame_interval=interval, scheme=scheme)
     dt = time.time() - t0
     log(f"video embed: {dt:.1f}s for {frames} frames "
         f"({frames // interval + 1} marked)")
@@ -261,6 +264,8 @@ def main():
                             "video", "robustness"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--scheme", choices=["blocked", "full"],
+                   default="blocked", help="video bench scheme")
     args = p.parse_args()
 
     if args.config == "1080p":
@@ -291,10 +296,11 @@ def main():
             "value": round(fps, 2), "unit": "images/sec/chip",
             "vs_baseline": round(fps * REF_DETECT_1080P_S, 1)}))
     elif args.config == "video":
-        fps = bench_video()
+        fps = bench_video(scheme=args.scheme)
         ref_fps = 10 / 3.45      # interval=10, 3.45 s/marked frame on CPU
         print(json.dumps({
-            "metric": "1080p30 video embed end-to-end (incl. host codecs)",
+            "metric": f"1080p30 video embed end-to-end "
+                      f"({args.scheme} scheme, incl. host codecs)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / ref_fps, 1)}))
     else:

@@ -63,10 +63,12 @@ def _wm_svd(wm_gray: jax.Array):
 
 
 @jax.jit
-def _embed_frame_gray(gray_f32: jax.Array, sw: jax.Array, alpha: jax.Array):
+def _embed_frame_gray(gray: jax.Array, sw: jax.Array, alpha: jax.Array):
     """[..., H, W] gray frame(s): S' = S + alpha*Sw, rebuild, clip to u8.
-    Returns (marked_u8, original S). No kfrac truncation (ref: l.130-140)."""
-    c = dct.dct2(gray_f32)
+    Returns (marked_u8, original S). No kfrac truncation (ref: l.130-140).
+    Accepts u8 input — frames cross the host link 1 byte/px and widen to
+    f32 on device (the reference's u8-gray -> float cast, same numerics)."""
+    c = dct.dct2(gray.astype(jnp.float32))
     u, s, vt = svd.svd_full(c)
     s_marked = s + alpha * sw
     cw = jnp.einsum("...ij,...j,...jk->...ik", u, s_marked, vt,
@@ -76,11 +78,11 @@ def _embed_frame_gray(gray_f32: jax.Array, sw: jax.Array, alpha: jax.Array):
 
 
 @jax.jit
-def _embed_frame_color(bgr_f32: jax.Array, sw: jax.Array, alpha: jax.Array):
+def _embed_frame_color(bgr: jax.Array, sw: jax.Array, alpha: jax.Array):
     """[..., 3, H, W] channel-first color frame(s); the same grayscale
     watermark SVs are embedded into every channel (ref:
-    color_video_dct_svd.pyc l.58-162)."""
-    c = dct.dct2(bgr_f32)
+    color_video_dct_svd.pyc l.58-162). u8-in like _embed_frame_gray."""
+    c = dct.dct2(bgr.astype(jnp.float32))
     u, s, vt = svd.svd_full(c)
     s_marked = s + alpha * sw
     cw = jnp.einsum("...ij,...j,...jk->...ik", u, s_marked, vt,
@@ -90,8 +92,9 @@ def _embed_frame_color(bgr_f32: jax.Array, sw: jax.Array, alpha: jax.Array):
 
 
 @jax.jit
-def _frame_singular_values(gray_f32: jax.Array):
-    return svd.svd_full(dct.dct2(gray_f32), compute_uv=False)
+def _frame_singular_values(gray: jax.Array):
+    return svd.svd_full(dct.dct2(gray.astype(jnp.float32)),
+                        compute_uv=False)
 
 
 # --- blocked-scheme graphs (scheme='blocked': the 8×8 throughput path
@@ -108,33 +111,35 @@ def _wm_svd_blocked(wm_gray: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac",))
-def _embed_frame_gray_blocked(gray_f32: jax.Array, sw: jax.Array,
+def _embed_frame_gray_blocked(gray: jax.Array, sw: jax.Array,
                               alpha: jax.Array,
                               kfrac: float = K_FRAC_DEFAULT):
     """[..., H, W] gray frame(s) through the fused blocked embed.
-    Returns (marked_u8, per-block original S [..., N, 8])."""
-    marked, s = m_blocked._embed_planes(gray_f32, sw, alpha, kfrac)
+    Returns (marked_u8, per-block original S [..., N, 8]). u8-in."""
+    marked, s = m_blocked._embed_planes(gray.astype(jnp.float32), sw,
+                                        alpha, kfrac)
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac",))
-def _embed_frame_color_blocked(bgr_f32: jax.Array, sw: jax.Array,
+def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
                                alpha: jax.Array,
                                kfrac: float = K_FRAC_DEFAULT):
     """[..., 3, H, W] channel-first color frame(s); the same grayscale
-    watermark block-SVs spread into every channel."""
-    marked, s = m_blocked._embed_planes(bgr_f32, sw, alpha, kfrac)
+    watermark block-SVs spread into every channel. u8-in."""
+    marked, s = m_blocked._embed_planes(bgr.astype(jnp.float32), sw,
+                                        alpha, kfrac)
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac", "h", "w"))
-def _recover_wm_blocked(planes_f32: jax.Array, s_orig: jax.Array,
+def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
                         uw: jax.Array, vwt: jax.Array, alpha: jax.Array,
                         kfrac: float, h: int, w: int):
     """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
     to the k embedded components, rank-restored through the watermark's
-    block bases, inverse block-DCT."""
-    s_now = m_blocked._plane_spectrum(planes_f32)
+    block bases, inverse block-DCT. u8-in."""
+    s_now = m_blocked._plane_spectrum(planes.astype(jnp.float32))
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
     sw_hat = jnp.where(mask, (s_now - s_orig) / alpha, 0.0)
@@ -156,10 +161,10 @@ def _recover_wm(s_now: jax.Array, s_orig: jax.Array, uw: jax.Array,
 
 
 @jax.jit
-def _frame_stats(gray_f32: jax.Array):
+def _frame_stats(gray: jax.Array):
     """Per-frame singular-value statistics for blind video detection
     (ref: l.244-315): mean, std, max, entropy −Σ s·log(s+1e-10)."""
-    s = svd.svd_full(dct.dct2(gray_f32), compute_uv=False)
+    s = svd.svd_full(dct.dct2(gray.astype(jnp.float32)), compute_uv=False)
     return (jnp.mean(s, axis=-1), jnp.std(s, axis=-1), jnp.max(s, axis=-1),
             -jnp.sum(s * jnp.log(s + 1e-10), axis=-1))
 
@@ -290,32 +295,68 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     durable = {"frames": start_frame, "segments": start_segment,
                "since_roll": 0}
 
-    def _flush(writer):
-        if pending:
-            k = len(pending)
-            planes = np.stack([p for _, _, p in pending] +
-                              [pending[-1][2]] * (chunk - k))
-            marked, s_orig = _dispatch_batch(planes)
-            for j, (slot, fidx, _) in enumerate(pending):
-                results[slot] = marked[j]
-                frame_indices.append(fidx)
-                s_list.append(s_orig[j])
-                tp.add()
-            pending.clear()
-        for kind, payload in buf:
-            if kind == "pass":
-                writer.write(payload)
+    # Device round trips run on a single worker thread: the host link
+    # transfer (the dominant cost on tunnel-attached chips) overlaps the
+    # main thread's encode and the reader thread's decode. One worker
+    # keeps dispatch order = submission order, so results resolve FIFO.
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
+    inflight = collections.deque()        # (future, [(slot, frame_idx)])
+
+    def _submit():
+        if not pending:
+            return
+        k = len(pending)
+        planes = np.stack([p for _, _, p in pending] +
+                          [pending[-1][2]] * (chunk - k))
+        fut = pool.submit(_dispatch_batch, planes)
+        inflight.append((fut, [(slot, fidx) for slot, fidx, _ in pending]))
+        pending.clear()
+
+    def _drain_one():
+        fut, slots = inflight.popleft()
+        marked, s_orig = fut.result()
+        for j, (slot, fidx) in enumerate(slots):
+            results[slot] = marked[j]
+            frame_indices.append(fidx)
+            s_list.append(s_orig[j])
+            tp.add()
+
+    def _write_one(writer, kind, payload):
+        if kind == "pass":
+            writer.write(payload)
+        else:
+            m = results.pop(payload)
+            if color:
+                writer.write(np.ascontiguousarray(np.moveaxis(m, 0, -1)))
             else:
-                m = results.pop(payload)
-                if color:
-                    writer.write(np.ascontiguousarray(np.moveaxis(m, 0, -1)))
-                else:
-                    writer.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
-            durable["since_roll"] += 1
-        buf.clear()
-        if not _maybe_roll(writer) and frame_indices and \
-                len(frame_indices) % checkpoint_every == 0:
-            _checkpoint(durable["frames"], durable["segments"])
+                writer.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
+        durable["since_roll"] += 1
+        _maybe_roll(writer)
+
+    def _pump(writer, wait: bool = False):
+        """Write the longest prefix of the ordered buffer whose marked
+        results are available; with wait=True, block until everything
+        buffered so far is written. Segment rolls happen per frame, so
+        segment boundaries depend only on the frame index — never on
+        flush/drain timing — which keeps resumed runs byte-identical.
+
+        Ready frames are written BEFORE the next future resolves: a failed
+        dispatch must not abort frames that already computed — they roll
+        into finalized segments the failed run can resume from."""
+        while True:
+            while buf:
+                kind, payload = buf[0]
+                if kind == "marked" and payload not in results:
+                    break
+                buf.pop(0)
+                _write_one(writer, kind, payload)
+            if frame_indices and len(frame_indices) % checkpoint_every == 0:
+                _checkpoint(durable["frames"], durable["segments"])
+            if not inflight or not (wait or inflight[0][0].done()):
+                return
+            _drain_one()
 
     def _maybe_roll(writer) -> bool:
         """Finalize the open segment once it reaches segment_frames; all
@@ -330,48 +371,51 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         return True
 
     slot_counter = 0
-    with video_io.VideoReader(host_path) as reader:
-        if resume:
-            writer_cm = video_io.SegmentedVideoWriter(
-                write_path, reader.fps, reader.width, reader.height,
-                start_segment=start_segment, frames_done=start_frame)
-        else:
-            writer_cm = video_io.VideoWriter(write_path, reader.fps,
-                                             reader.width, reader.height)
-        with writer_cm as writer:
-            # Passthrough frames drain straight to the writer whenever no
-            # marked frame is awaiting its device result ahead of them, and
-            # a buffer cap forces a (partial-chunk) flush otherwise — so
-            # host RAM between flushes is bounded by max_buffered frames
-            # even at large frame_interval × 4K, instead of growing with
-            # the whole inter-chunk window.
-            max_buffered = 32
-            for idx, frame in video_io.iter_frames_threaded(
-                    reader, start_frame=start_frame):
-                if idx % frame_interval == 0:
-                    if color:
-                        plane = np.moveaxis(frame.astype(np.float32), -1, 0)
-                    else:
-                        plane = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY
-                                             ).astype(np.float32)
-                    buf.append(("marked", slot_counter))
-                    pending.append((slot_counter, idx, plane))
-                    slot_counter += 1
-                    if len(pending) >= chunk:
-                        _flush(writer)
-                elif pending or buf:
-                    buf.append(("pass", frame))
-                    if len(buf) >= max_buffered:
-                        _flush(writer)
-                else:
-                    writer.write(frame)
-                    durable["since_roll"] += 1
-                    _maybe_roll(writer)
-                if progress and idx % progress_every == 0:
-                    progress(idx, reader.total_frames)
-            _flush(writer)
+    try:
+        with video_io.VideoReader(host_path) as reader:
             if resume:
-                writer.finalize()
+                writer_cm = video_io.SegmentedVideoWriter(
+                    write_path, reader.fps, reader.width, reader.height,
+                    start_segment=start_segment, frames_done=start_frame)
+            else:
+                writer_cm = video_io.VideoWriter(write_path, reader.fps,
+                                                 reader.width, reader.height)
+            with writer_cm as writer:
+                # Passthrough frames drain straight to the writer whenever no
+                # marked frame is awaiting its device result ahead of them, and
+                # a buffer cap forces a (partial-chunk) flush otherwise — so
+                # host RAM between flushes is bounded by max_buffered frames
+                # even at large frame_interval × 4K, instead of growing with
+                # the whole inter-chunk window.
+                max_buffered = 32
+                for idx, frame in video_io.iter_frames_threaded(
+                        reader, start_frame=start_frame):
+                    if idx % frame_interval == 0:
+                        # u8 planes: the device cast is free, the host link
+                        # (tunnel-attached chips: ~20 MB/s) moves 1 byte/px
+                        if color:
+                            plane = np.moveaxis(frame, -1, 0)
+                        else:
+                            plane = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                        buf.append(("marked", slot_counter))
+                        pending.append((slot_counter, idx, plane))
+                        slot_counter += 1
+                        if len(pending) >= chunk:
+                            _submit()          # async: don't block the writer
+                            _pump(writer)
+                    elif pending or buf:
+                        buf.append(("pass", frame))
+                        _pump(writer, wait=len(buf) >= max_buffered)
+                    else:
+                        _write_one(writer, "pass", frame)
+                    if progress and idx % progress_every == 0:
+                        progress(idx, reader.total_frames)
+                _submit()
+                _pump(writer, wait=True)
+                if resume:
+                    writer.finalize()
+    finally:
+        pool.shutdown(wait=True)
 
     meta = _checkpoint()
     return write_path, meta_path, meta
@@ -588,11 +632,9 @@ def extract_watermark_video(video_path: str, meta_path: str,
             if frame is None:
                 continue
             if meta.is_color:
-                planes_buf.append(
-                    np.moveaxis(frame.astype(np.float32), -1, 0))
+                planes_buf.append(np.moveaxis(frame, -1, 0))
             else:
-                planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY
-                                               ).astype(np.float32))
+                planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
             sorig_buf.append(np.asarray(meta.s_orig[i]))
             if len(planes_buf) >= chunk:
                 _flush()
@@ -632,7 +674,7 @@ def detect_watermark_video(video_path: str,
             nonlocal sampled
             if not buf:
                 return
-            batch = jnp.asarray(np.stack(buf), jnp.float32)
+            batch = jnp.asarray(np.stack(buf))   # u8 upload
             m, s, mx, e = (np.asarray(v) for v in _frame_stats(batch))
             stats["means"].extend(m.tolist())
             stats["stds"].extend(s.tolist())

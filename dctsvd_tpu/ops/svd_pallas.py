@@ -38,16 +38,34 @@ _SORT_NET = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 
 def _rotation(app, aqq, apq):
-    """Stable Jacobi rotation (c, s); all inputs [TILE]."""
-    denom = 2.0 * apq
-    safe = jnp.abs(denom) > 1e-30
-    zeta = jnp.where(safe, (aqq - app) / jnp.where(safe, denom, 1.0), 0.0)
-    sgn = jnp.where(zeta >= 0, 1.0, -1.0)
-    t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-    t = jnp.where(safe, t, 0.0)
-    c = jax.lax.rsqrt(1.0 + t * t)
-    s = c * t
-    return c, s
+    """Stable Jacobi rotation; returns (c, s, t=s/c); all inputs [TILE].
+
+    Two rsqrt and pure mults/adds — no divisions or plain sqrt. The VPU
+    serializes transcendental ops at several cycles per vreg, and profiling
+    showed the classic form (2 div for ζ and t, sqrt, rsqrt, plus the
+    caller's t=s/c div — 5 transcendentals per rotation) was ~1/3 of the
+    whole Jacobi kernel. Algebra, with d = aqq−app, e = 2·apq,
+    r = √(d²+e²):
+
+        t = sign(ζ)/(|ζ|+√(1+ζ²)) = sign(d)·e/(|d|+r)
+        c² = 1/(1+t²)            = (r+|d|)/(2r) = ½ + ½·|d|/r
+        s  = c·t                 = ½·sign(d)·e·(1/r)·(1/c)
+
+    so ir = rsqrt(d²+e²) and ic = rsqrt(c²) are the only transcendentals;
+    c = c²·ic and t = s·ic. Bitwise this matches the classic form to
+    rounding (verified against it in tests/test_svd.py)."""
+    d = aqq - app
+    e = 2.0 * apq
+    h2 = d * d + e * e
+    safe = h2 > 1e-60                     # d = e = 0: no rotation at all
+    ir = jax.lax.rsqrt(jnp.where(safe, h2, 1.0))
+    c2 = 0.5 + 0.5 * jnp.abs(d) * ir
+    ic = jax.lax.rsqrt(c2)
+    c = jnp.where(safe, c2 * ic, 1.0)
+    sgn = jnp.where(d >= 0, 0.5, -0.5)    # fold the ½ into the sign factor
+    s = jnp.where(safe, sgn * e * ir * ic, 0.0)
+    t = s * jnp.where(safe, ic, 1.0)
+    return c, s, t
 
 
 def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
@@ -89,8 +107,7 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
                 gp, gq = g[p], g[q]                      # [m, TILE]
                 app, aqq = norms[p], norms[q]
                 apq = jnp.sum(gp * gq, axis=0)           # [TILE]
-                c, s = _rotation(app, aqq, apq)
-                t = s / c
+                c, s, t = _rotation(app, aqq, apq)
                 norms[p] = app - t * apq
                 norms[q] = aqq + t * apq
                 g[p] = c * gp - s * gq

@@ -118,8 +118,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
-            c, s = _rotation(app, aqq, apq)
-            t = s / c
+            c, s, t = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
@@ -256,8 +255,7 @@ def _jacobi_cols_u(g0, sweeps):
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
-            c, s = _rotation(app, aqq, apq)
-            t = s / c
+            c, s, t = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
@@ -331,8 +329,7 @@ def _make_spectrum_gram_kernel(sweeps: int):
             a = dict(zip(keys, carry))
             for p, q in PAIRS:
                 app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
-                c, s = _rotation(app, aqq, apq)
-                t = s / c
+                c, s, t = _rotation(app, aqq, apq)
                 for r in range(B):
                     if r == p or r == q:
                         continue
