@@ -69,6 +69,18 @@ def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
     return x, h + ph, w + pw
 
 
+# Fused-kernel sweep count for the serving path. End-to-end quality (stego
+# PSNR, extraction NC, detect score, JPEG-q50/noise/crop robustness) was
+# measured IDENTICAL to 4 decimal places at sweeps 3/4/5 on 1080p hardware
+# (round-1 sweep study): embed and extract run the SAME schedule on nearby
+# matrices, so the residual convergence bias cancels in (s_cw - sc). The
+# kernel-default 4 is kept for cross-path workflows (ops/wm_pallas.py);
+# the serving path takes the 3-sweep variant for ~12% less kernel time.
+# Re-validated each round by the 4K robustness bench (bench.py --config
+# robustness), which runs the fused path on hardware.
+_FUSED_SWEEPS = 3
+
+
 def _use_fused() -> bool:
     """Fused Pallas kernels (ops/wm_pallas.py) on TPU backends; the XLA
     composition elsewhere (CPU tests, interpret-free portability)."""
@@ -93,7 +105,8 @@ def _plane_spectrum(plane: jax.Array) -> jax.Array:
     padded, _, _ = _pad_to_blocks(plane)
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
-        return wm_pallas.spectrum_plane_blocks.__wrapped__(padded)
+        return wm_pallas.spectrum_plane_blocks.__wrapped__(
+            padded, sweeps=_FUSED_SWEEPS)
     coefs = dct.dct2_plane_blocks(padded)
     return svd.jacobi_svd(coefs, compute_uv=False)
 
@@ -115,8 +128,8 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
             sws = sws[None]                          # [1, N, 8] gray
         elif sws.ndim > 3:
             sws = sws.reshape(-1, *sws.shape[-2:])
-        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(padded, sws,
-                                                              k=k)
+        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
+            padded, sws, k=k, sweeps=_FUSED_SWEEPS)
         return marked[..., :h, :w], sc
 
     coefs = dct.dct2_plane_blocks(padded)

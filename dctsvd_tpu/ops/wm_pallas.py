@@ -373,8 +373,13 @@ def _plane_cols_view(planes: jax.Array):
 
     Lane dim must be the wide one: a trailing dim of 8 gets padded to the
     128-lane vreg width (16× VMEM bloat — observed as a scoped-vmem OOM), so
-    the block-column axis moves inward and Wb rides the lanes. The swap is
-    one XLA transpose fused with the surrounding cast/epilogue.
+    the block-column axis moves inward and Wb rides the lanes.
+
+    The transpose is expressed in 3-D collapsed form ([M, wb, 8] ->
+    transpose(0, 2, 1)): measured 11 ms per 96-plane 1080p pass on v5e vs
+    ~40 ms for the equivalent 5-D swapaxes — XLA picks a tiled lowering
+    for the rank-3 pattern but a scalarized one for rank-5, and the
+    difference was as large as the entire 4-sweep Jacobi kernel.
     """
     *lead, h, w = planes.shape
     if h % B or w % B:
@@ -383,8 +388,16 @@ def _plane_cols_view(planes: jax.Array):
     for dim in lead:
         p *= dim
     hb, wb = h // B, w // B
-    view = planes.reshape(p, hb, B, wb, B)
-    return jnp.swapaxes(view, 3, 4), tuple(lead), hb, wb
+    view = jnp.transpose(planes.reshape(p * hb * B, wb, B), (0, 2, 1))
+    return view.reshape(p, hb, B, B, wb), tuple(lead), hb, wb
+
+
+def _cols_to_plane(view5: jax.Array, lead, hb: int, wb: int) -> jax.Array:
+    """Inverse of _plane_cols_view: [P, Hb, 8, 8, Wb] -> [..., H, W],
+    in the same fast 3-D collapsed transpose form."""
+    p = view5.shape[0]
+    flat = jnp.transpose(view5.reshape(p * hb * B, B, wb), (0, 2, 1))
+    return flat.reshape(*lead, hb * B, wb * B)
 
 
 def _rows_per_cell(hb: int, wb: int) -> int:
@@ -423,7 +436,8 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     view, lead, hb, wb = _plane_cols_view(planes)
     p = view.shape[0]
     c = sws_scaled.shape[0]
-    sws_v = jnp.swapaxes(sws_scaled.reshape(c, hb, wb, B), 2, 3)
+    sws_v = jnp.transpose(sws_scaled.reshape(c * hb, wb, B),
+                          (0, 2, 1)).reshape(c, hb, B, wb)
     r = rows or _rows_per_cell(hb, wb)
 
     grid = (p, hb // r)
@@ -450,8 +464,9 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
         out_shape=out_shape, interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         )(view, sws_v)
-    marked = jnp.swapaxes(marked_v, 3, 4).reshape(*lead, hb * B, wb * B)
-    sc_b = jnp.swapaxes(sc, 2, 3).reshape(*lead, hb * wb, B)
+    marked = _cols_to_plane(marked_v, lead, hb, wb)
+    sc_b = jnp.transpose(sc.reshape(-1, B, wb),
+                         (0, 2, 1)).reshape(*lead, hb * wb, B)
     return marked, sc_b
 
 
@@ -492,4 +507,5 @@ def spectrum_plane_blocks(planes: jax.Array,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         )(view)
-    return jnp.swapaxes(s, 2, 3).reshape(*lead, hb * wb, B)
+    return jnp.transpose(s.reshape(-1, B, wb),
+                         (0, 2, 1)).reshape(*lead, hb * wb, B)

@@ -100,3 +100,22 @@ def test_plane_sharded_embed_detect(mesh8, make_image):
     clean = float(pplane.plane_detect_gray(cover, sc_s, pw.sw, 0.12,
                                            mesh=mesh8))
     assert abs(clean) < 0.3, clean
+
+
+def test_init_distributed_passthrough(monkeypatch):
+    """Multi-host init (SURVEY §2.7): verify the passthrough forwards the
+    coordinator triple to jax.distributed.initialize and the no-arg form
+    defers to environment auto-detection. A real multi-process pod cannot
+    run in CI — this pins the contract the pod entrypoint relies on."""
+    import jax
+    from dctsvd_tpu.parallel import mesh as mesh_lib
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    mesh_lib.init_distributed()
+    assert calls[-1] == {}
+    mesh_lib.init_distributed("10.0.0.1:1234", num_processes=4,
+                              process_id=2)
+    assert calls[-1] == dict(coordinator_address="10.0.0.1:1234",
+                             num_processes=4, process_id=2)
