@@ -101,13 +101,14 @@ def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
 
 
 def _plane_spectrum(plane: jax.Array) -> jax.Array:
-    """float plane [..., H, W] -> per-block singular values [..., N, 8]."""
+    """[..., H, W] plane (u8 or float) -> per-block singular values
+    [..., N, 8]. u8 input widens inside the fused view transpose (free)."""
     padded, _, _ = _pad_to_blocks(plane)
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
         return wm_pallas.spectrum_plane_blocks.__wrapped__(
             padded, sweeps=_FUSED_SWEEPS)
-    coefs = dct.dct2_plane_blocks(padded)
+    coefs = dct.dct2_plane_blocks(padded.astype(jnp.float32))
     return svd.jacobi_svd(coefs, compute_uv=False)
 
 
@@ -132,7 +133,7 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
             padded, sws, k=k, sweeps=_FUSED_SWEEPS)
         return marked[..., :h, :w], sc
 
-    coefs = dct.dct2_plane_blocks(padded)
+    coefs = dct.dct2_plane_blocks(padded.astype(jnp.float32))
     uc, sc, vct = svd.jacobi_svd(coefs, compute_uv=True)
     s_marked = sc + alpha * mask * sw
     cw = jnp.einsum("...nij,...nj,...njk->...nik", uc, s_marked, vct,
@@ -314,12 +315,18 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
+    hb, wb = hp // BLOCK, wp // BLOCK
     s_cw = _plane_spectrum(planes)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
-    blocks = jnp.einsum("...nj,...njxy->...nxy", sw_nat,
-                        ebasis[..., :k, :, :])
-    wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
+    # one einsum straight to plane layout ('...hxwy' = the free
+    # [H/8, 8, W/8, 8] view) — fusing unblockify into the contraction
+    # saves a full [.., N, 8, 8] materialization + strided transpose pass
+    sw_v = sw_nat.reshape(*sw_nat.shape[:-2], hb, wb, k)
+    eb_v = ebasis[..., :k, :, :].reshape(
+        *ebasis.shape[:-4], hb, wb, k, BLOCK, BLOCK)
+    wy = jnp.einsum("...hwj,...hwjxy->...hxwy", sw_v, eb_v)
+    wy = wy.reshape(*wy.shape[:-4], hp, wp)[..., :h, :w]
     if normalize:
         lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
         hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
@@ -347,7 +354,7 @@ def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                            normalize: bool = True) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes_prepared(chans, sc, ebasis, inv_blk, alpha, kfrac,
                                   normalize, h, w)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
@@ -371,7 +378,7 @@ def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                   alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                   normalize: bool = True) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes(chans, sc, uw, vwt, inv_blk, inv_intra, alpha,
                          kfrac, normalize, h, w)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
@@ -422,7 +429,7 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
 def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sw: jax.Array, alpha: jax.Array) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    chans = jnp.moveaxis(stego_bgr_u8.astype(jnp.float32), -1, -3)
+    chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     s_cw = _plane_spectrum(chans)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw, sw_hat, -(-h // BLOCK), -(-w // BLOCK))

@@ -389,6 +389,10 @@ def _plane_cols_view(planes: jax.Array):
         p *= dim
     hb, wb = h // B, w // B
     view = jnp.transpose(planes.reshape(p * hb * B, wb, B), (0, 2, 1))
+    # u8 planes ride the transpose and widen in its epilogue — measured
+    # the same cost as a bare f32 transpose, so u8 callers skip a whole
+    # standalone cast pass
+    view = view.astype(jnp.float32)
     return view.reshape(p, hb, B, B, wb), tuple(lead), hb, wb
 
 
@@ -444,8 +448,8 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     kernel = (_make_embed_kernel_delta(sweeps, k) if variant == "delta"
               else _make_embed_kernel(sweeps))
     out_shape = (
-        jax.ShapeDtypeStruct(view.shape, planes.dtype),
-        jax.ShapeDtypeStruct((p, hb, B, wb), planes.dtype),
+        jax.ShapeDtypeStruct(view.shape, jnp.float32),
+        jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
     )
     marked_v, sc = pl.pallas_call(
         kernel, grid=grid,
@@ -503,7 +507,7 @@ def spectrum_plane_blocks(planes: jax.Array,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, r, B, wb), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, hb, B, wb), planes.dtype),
+        out_shape=jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         )(view)

@@ -165,3 +165,21 @@ def test_gray_shared_sws(data):
         np.asarray(s_m)[..., 0],
         np.asarray(s)[..., 0] + np.asarray(sws)[0, :, 0],
         rtol=0, atol=2e-4 * smax)
+
+
+def test_u8_planes_in(data):
+    """u8 planes widen inside the fused view transpose; results must match
+    feeding the same values as f32 (the serving extract/detect path hands
+    the kernels u8 stego planes directly)."""
+    planes, sws, h, w, n = data
+    p_u8 = jnp.clip(planes, 0, 255).astype(jnp.uint8)
+    p_f32 = p_u8.astype(jnp.float32)
+    m_u, sc_u = wm_pallas.embed_plane_blocks(p_u8, sws, interpret=True)
+    m_f, sc_f = wm_pallas.embed_plane_blocks(p_f32, sws, interpret=True)
+    assert m_u.dtype == jnp.float32 and sc_u.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m_f))
+    np.testing.assert_array_equal(np.asarray(sc_u), np.asarray(sc_f))
+    s_u = wm_pallas.spectrum_plane_blocks(p_u8, interpret=True)
+    s_f = wm_pallas.spectrum_plane_blocks(p_f32, interpret=True)
+    assert s_u.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(s_u), np.asarray(s_f))
