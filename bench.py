@@ -262,8 +262,8 @@ def main():
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "1080pgray", "512gray", "detect",
                             "video", "robustness"])
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--batch", type=int, default=96)
+    p.add_argument("--iters", type=int, default=6)
     p.add_argument("--scheme", choices=["blocked", "full"],
                    default="blocked", help="video bench scheme")
     args = p.parse_args()

@@ -113,10 +113,13 @@ def _plane_spectrum(plane: jax.Array) -> jax.Array:
 
 
 def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
-                  kfrac: float):
-    """Cover-side blocked embed on float planes [..., H, W] against
+                  kfrac: float, out_u8: bool = False):
+    """Cover-side blocked embed on [..., H, W] planes (u8 or float) against
     slot-ordered watermark SVs ``sw`` ([..., N, 8], leading dims must
-    broadcast per channel). Returns (marked [..., H, W], sc [..., N, 8])."""
+    broadcast per channel). Returns (marked [..., H, W], sc [..., N, 8]).
+    With ``out_u8`` the FUSED path clips+casts in VMEM and returns u8
+    stego planes directly (color serving; gray needs float Y for the
+    YCrCb recombine); the XLA fallback still returns float."""
     h, w = planes.shape[-2], planes.shape[-1]
     k = k_of_block(kfrac)
     mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
@@ -130,7 +133,7 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
         elif sws.ndim > 3:
             sws = sws.reshape(-1, *sws.shape[-2:])
         marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
-            padded, sws, k=k, sweeps=_FUSED_SWEEPS)
+            padded, sws, k=k, sweeps=_FUSED_SWEEPS, out_u8=out_u8)
         return marked[..., :h, :w], sc
 
     coefs = dct.dct2_plane_blocks(padded.astype(jnp.float32))

@@ -194,7 +194,8 @@ def _make_embed_kernel(sweeps: int):
     return kernel
 
 
-def _make_embed_kernel_delta(sweeps: int, k: int):
+def _make_embed_kernel_delta(sweeps: int, k: int,
+                             out_u8: bool = False):
     """V-free embed: the round-1 kernel accumulated V through every one of
     the 140 sweep rotations (~840 full-width vector ops — a third of the
     kernel's VMEM traffic, which is what bounds it). This variant never
@@ -236,7 +237,14 @@ def _make_embed_kernel_delta(sweeps: int, k: int):
             coef = sws[:, j, :] * jax.lax.rsqrt(nrm2 + eps2)
             for c in range(B):
                 ycols[c] = ycols[c] + u[j] * (coef * vj[c])[..., None, :]
-        out_ref[0] = jnp.stack(ycols, axis=2)        # [R, 8, 8, Wb]
+        y = jnp.stack(ycols, axis=2)                 # [R, 8, 8, Wb]
+        if out_u8:
+            # clip+truncate in VMEM: the marked plane leaves the kernel as
+            # the final stego bytes (1/4 the HBM write + a 4x cheaper
+            # out-transpose; numerics identical to the XLA
+            # clip(..).astype(uint8) epilogue)
+            y = jnp.clip(y, 0.0, 255.0).astype(jnp.uint8)
+        out_ref[0] = y
         sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
 
     return kernel
@@ -405,23 +413,27 @@ def _cols_to_plane(view5: jax.Array, lead, hb: int, wb: int) -> jax.Array:
 
 
 def _rows_per_cell(hb: int, wb: int) -> int:
-    """Block rows per grid cell: every VPU op in the kernel works on an
-    [R, 8, Wb] value, so bigger R amortizes instruction-issue overhead;
-    cap R·Wb to bound the kernel's VMEM live set (~25 such values)."""
+    """Block rows per grid cell. Counter to the issue-overhead intuition,
+    SMALLER tiles win: an R·Wb sweep on v5e measured 38.4/39.0/43.6 ms
+    (spectrum, s3, 1080p) at R·Wb = 720/1200/2160 — the unrolled 28-pair
+    body keeps ~300 live values, and past ~1k lanes per value the Mosaic
+    register allocator starts spilling to VMEM inside the sweep loop.
+    Cap at 1024 (R=3 @1080p, R=2 @4K, R=16 @512²)."""
     best = 1
     for r in range(1, hb + 1):
-        if hb % r == 0 and r * wb <= 2400:
+        if hb % r == 0 and r * wb <= 1024:
             best = r
     return best
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
-                                              "k", "variant"))
+                                              "k", "variant", "out_u8"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
                        sweeps: int = _SWEEPS_DEFAULT,
                        rows: int | None = None,
                        interpret: bool = False,
-                       k: int = B, variant: str = "delta"):
+                       k: int = B, variant: str = "delta",
+                       out_u8: bool = False):
     """Fused blocked embed over f32 planes.
 
     planes:     [..., H, W] f32 (leading dims = batch/channels, flattened to
@@ -445,10 +457,13 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     r = rows or _rows_per_cell(hb, wb)
 
     grid = (p, hb // r)
-    kernel = (_make_embed_kernel_delta(sweeps, k) if variant == "delta"
-              else _make_embed_kernel(sweeps))
+    if out_u8 and variant != "delta":
+        raise ValueError("out_u8 requires the delta variant")
+    kernel = (_make_embed_kernel_delta(sweeps, k, out_u8)
+              if variant == "delta" else _make_embed_kernel(sweeps))
+    out_dtype = jnp.uint8 if out_u8 else jnp.float32
     out_shape = (
-        jax.ShapeDtypeStruct(view.shape, jnp.float32),
+        jax.ShapeDtypeStruct(view.shape, out_dtype),
         jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
     )
     marked_v, sc = pl.pallas_call(

@@ -183,3 +183,17 @@ def test_u8_planes_in(data):
     s_f = wm_pallas.spectrum_plane_blocks(p_f32, interpret=True)
     assert s_u.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(s_u), np.asarray(s_f))
+
+
+def test_embed_out_u8(data):
+    """out_u8 must equal the XLA clip+cast epilogue bit-for-bit."""
+    planes, sws, h, w, n = data
+    m_f, sc_f = wm_pallas.embed_plane_blocks(planes, sws, k=4,
+                                             interpret=True)
+    m_u, sc_u = wm_pallas.embed_plane_blocks(planes, sws, k=4,
+                                             out_u8=True, interpret=True)
+    assert m_u.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(sc_u), np.asarray(sc_f))
+    np.testing.assert_array_equal(
+        np.asarray(m_u),
+        np.asarray(jnp.clip(m_f, 0, 255).astype(jnp.uint8)))
