@@ -290,7 +290,10 @@ def main():
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps * REF_512_GRAY_S, 1)}))
     elif args.config == "detect":
-        fps = bench_detect(1080, 1920, args.batch * 4, args.iters)
+        # detect itself is light (values-only spectrum) but its setup
+        # embeds the whole stego batch at once — cap so the setup fits HBM
+        fps = bench_detect(1080, 1920, min(args.batch * 2, 128),
+                           args.iters)
         print(json.dumps({
             "metric": "1080p detect throughput (blocked path)",
             "value": round(fps, 2), "unit": "images/sec/chip",

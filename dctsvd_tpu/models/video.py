@@ -299,6 +299,8 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     # transfer (the dominant cost on tunnel-attached chips) overlaps the
     # main thread's encode and the reader thread's decode. One worker
     # keeps dispatch order = submission order, so results resolve FIFO.
+    # (A 2-worker variant was measured: concurrent tunnel RPCs thrash —
+    # 21.8 -> 8.8 fps end-to-end — so one worker it is.)
     import collections
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=1)
