@@ -191,7 +191,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                       progress_every: int = 100,
                       progress: Optional[Callable[[int, int], None]] = None,
                       temp_suffix: str = "", retries: int = 2,
-                      checkpoint_every: int = 64, chunk: int = 8,
+                      checkpoint_every: int = 64, chunk: int = 4,
                       scheme: str = "full",
                       kfrac: Optional[float] = None,
                       resume: bool = False, segment_frames: int = 240):
