@@ -261,7 +261,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "1080pgray", "512gray", "detect",
-                            "video", "robustness"])
+                            "video", "robustness", "4k"])
     p.add_argument("--batch", type=int, default=96)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--scheme", choices=["blocked", "full"],
@@ -275,6 +275,14 @@ def main():
             "metric": "1080p color embed+extract throughput (blocked path)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / REF_BASELINE_FPS, 1)}))
+    elif args.config == "4k":
+        fps = bench_embed_extract(2160, 3840, min(args.batch, 8),
+                                  args.iters, color=True)
+        # reference model: 4x the 1080p pixels -> 4x the measured CPU time
+        print(json.dumps({
+            "metric": "4K color embed+extract throughput (blocked path)",
+            "value": round(fps, 2), "unit": "frames/sec/chip",
+            "vs_baseline": round(fps * 4 / REF_BASELINE_FPS, 1)}))
     elif args.config == "1080pgray":
         fps = bench_embed_extract(1080, 1920, args.batch, args.iters,
                                   color=False)

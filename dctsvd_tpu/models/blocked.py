@@ -318,18 +318,20 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
-    hb, wb = hp // BLOCK, wp // BLOCK
     s_cw = _plane_spectrum(planes)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
-    # one einsum straight to plane layout ('...hxwy' = the free
-    # [H/8, 8, W/8, 8] view) — fusing unblockify into the contraction
-    # saves a full [.., N, 8, 8] materialization + strided transpose pass
-    sw_v = sw_nat.reshape(*sw_nat.shape[:-2], hb, wb, k)
-    eb_v = ebasis[..., :k, :, :].reshape(
-        *ebasis.shape[:-4], hb, wb, k, BLOCK, BLOCK)
-    wy = jnp.einsum("...hwj,...hwjxy->...hxwy", sw_v, eb_v)
-    wy = wy.reshape(*wy.shape[:-4], hp, wp)[..., :h, :w]
+    # The contraction runs with the block's 64 pixels FLATTENED on the
+    # minor axis: with 8-sized minor dims XLA hands the dot output a
+    # T(8,128)-padded layout at 4K (16x expansion -> 11.9 GB HBM OOM,
+    # seen for both the '...njxy->...nxy' and the fused-to-plane rank-6
+    # forms); a 64-wide minor pads only 2x. The [.., N, 64] -> [.., N,
+    # 8, 8] split afterwards is free.
+    eb = ebasis[..., :k, :, :]
+    eb64 = eb.reshape(*eb.shape[:-2], BLOCK * BLOCK)
+    blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
+    blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
+    wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
     if normalize:
         lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
         hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
