@@ -40,6 +40,9 @@ _SORT_NET = [(0, 1), (2, 3), (4, 5), (6, 7),
 def _rotation(app, aqq, apq):
     """Stable Jacobi rotation; returns (c, s, t=s/c); all inputs [TILE].
 
+    Also returns ic = 1/c (free here, needed by the fast-scaled update
+    form in ops/wm_pallas.py).
+
     Two rsqrt and pure mults/adds — no divisions or plain sqrt. The VPU
     serializes transcendental ops at several cycles per vreg, and profiling
     showed the classic form (2 div for ζ and t, sqrt, rsqrt, plus the
@@ -61,11 +64,12 @@ def _rotation(app, aqq, apq):
     ir = jax.lax.rsqrt(jnp.where(safe, h2, 1.0))
     c2 = 0.5 + 0.5 * jnp.abs(d) * ir
     ic = jax.lax.rsqrt(c2)
+    ic = jnp.where(safe, ic, 1.0)
     c = jnp.where(safe, c2 * ic, 1.0)
     sgn = jnp.where(d >= 0, 0.5, -0.5)    # fold the ½ into the sign factor
     s = jnp.where(safe, sgn * e * ir * ic, 0.0)
-    t = s * jnp.where(safe, ic, 1.0)
-    return c, s, t
+    t = s * ic
+    return c, s, t, ic
 
 
 def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
@@ -107,7 +111,7 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
                 gp, gq = g[p], g[q]                      # [m, TILE]
                 app, aqq = norms[p], norms[q]
                 apq = jnp.sum(gp * gq, axis=0)           # [TILE]
-                c, s, t = _rotation(app, aqq, apq)
+                c, s, t, _ = _rotation(app, aqq, apq)
                 norms[p] = app - t * apq
                 norms[q] = aqq + t * apq
                 g[p] = c * gp - s * gq

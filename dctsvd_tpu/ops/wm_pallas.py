@@ -86,6 +86,15 @@ def _sum_rows(v):
     return t[..., 0, :]
 
 
+# A fast-scaled (Hammarling) variant — columns carried as f·g̃ so each
+# rotation updates with 4 full-width ops instead of 6, f/1/f as per-block
+# scalars — was implemented and measured on v5e: spectrum 91.5 ms vs the
+# plain form's 38.2 ms (r=3, s3, 96×1080p planes), embed neutral. The
+# extra per-pair scalar chain (6 scalar mults + 2 sublane-broadcast
+# coefficient materializations) costs more than two full-width mults at
+# this tile size — the third hardware A/B (after the Gram spectrum and
+# tournament ILP) to show op-count reasoning does not predict Mosaic
+# performance; only measurement does.
 def _jacobi_cols(g, sweeps, compute_uv):
     """One-sided Jacobi on column lists of [..., 8, W] values; returns
     (u, s, v) or s, sorted descending (same math as
@@ -118,7 +127,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
-            c, s, t = _rotation(app, aqq, apq)
+            c, s, t, _ = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
@@ -263,7 +272,7 @@ def _jacobi_cols_u(g0, sweeps):
             gp, gq = g[p], g[q]
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
-            c, s, t = _rotation(app, aqq, apq)
+            c, s, t, _ = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
@@ -337,7 +346,7 @@ def _make_spectrum_gram_kernel(sweeps: int):
             a = dict(zip(keys, carry))
             for p, q in PAIRS:
                 app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
-                c, s, t = _rotation(app, aqq, apq)
+                c, s, t, _ = _rotation(app, aqq, apq)
                 for r in range(B):
                     if r == p or r == q:
                         continue
