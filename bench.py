@@ -113,7 +113,8 @@ def bench_detect(h=1080, w=1920, batch=16, iters=32):
 
     frames, wm, blk, intra = _inputs(batch, h, w)
     alpha = jnp.float32(0.12)
-    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra)
+    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra,
+                                 extract_basis=False)
     stego, sc, _, _ = blocked.embed_gray_prepared(frames, pw.sw, alpha,
                                                   with_metrics=False)
 

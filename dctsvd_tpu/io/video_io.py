@@ -100,20 +100,30 @@ def iter_frames_threaded(reader: "VideoReader", start_frame: int = 0,
     decode with device-tunnel WAIT time (the round-1 video bottleneck).
     The queue is bounded so at most ``queue_size`` frames of host RAM are
     in flight. Exceptions in the decoder thread re-raise at the consumer.
+    If the consumer exits early (e.g. a dispatch failure unwinding toward
+    resume), the producer is stopped and JOINED before returning —
+    cv2.VideoCapture is not thread-safe, so the reader must not be
+    released while the producer is mid-read.
     """
     q: "queue.Queue" = queue.Queue(maxsize=queue_size)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def _producer():
         try:
             if start_frame:
                 reader.cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
             idx = start_frame
-            while True:
+            while not stop.is_set():
                 ok, frame = reader.cap.read()
                 if not ok:
                     break
-                q.put((idx, frame))
+                while not stop.is_set():
+                    try:
+                        q.put((idx, frame), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
                 idx += 1
             q.put(_SENTINEL)
         except BaseException as e:  # surface decode errors to the consumer
@@ -121,13 +131,22 @@ def iter_frames_threaded(reader: "VideoReader", start_frame: int = 0,
 
     t = threading.Thread(target=_producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():      # drain so a blocked put can observe stop
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.1)
 
 
 class SegmentedVideoWriter:
@@ -216,7 +235,9 @@ def _concat_copy(segments: List[str], out_path: str,
     try:
         with open(lst, "w") as f:
             for s in segments:
-                f.write(f"file '{os.path.abspath(s)}'\n")
+                # concat-demuxer quoting: ' must become '\''
+                esc = os.path.abspath(s).replace("'", "'\\''")
+                f.write(f"file '{esc}'\n")
         res = subprocess.run(
             ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", lst,
              "-c", "copy", out_path],

@@ -240,7 +240,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     start_segment = 0
     if resume:
         prev = _load_resume_state(meta_path, write_path, scheme, alpha,
-                                  frame_interval, color)
+                                  frame_interval, color, to_numpy(sw_d))
         if prev is not None:
             start_frame, start_segment, frame_indices, s_list = prev
             logger.info("resuming video embed at frame %d (segment %d, "
@@ -293,7 +293,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     pending = []           # (slot_id, frame_idx, plane)
     results = {}
     durable = {"frames": start_frame, "segments": start_segment,
-               "since_roll": 0}
+               "since_roll": 0, "ckpt_marked": len(frame_indices)}
 
     # Device round trips run on a single worker thread: the host link
     # transfer (the dominant cost on tunnel-attached chips) overlaps the
@@ -354,7 +354,9 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                     break
                 buf.pop(0)
                 _write_one(writer, kind, payload)
-            if frame_indices and len(frame_indices) % checkpoint_every == 0:
+            if (len(frame_indices) - durable["ckpt_marked"]
+                    >= checkpoint_every):
+                durable["ckpt_marked"] = len(frame_indices)
                 _checkpoint(durable["frames"], durable["segments"])
             if not inflight or not (wait or inflight[0][0].done()):
                 return
@@ -424,11 +426,16 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
 
 
 def _load_resume_state(meta_path: str, write_path: str, scheme: str,
-                       alpha: float, frame_interval: int, color: bool):
+                       alpha: float, frame_interval: int, color: bool,
+                       sw_now: np.ndarray):
     """Validate a checkpoint meta + finalized segments for resume; returns
     (start_frame, start_segment, frame_indices, s_list) or None (fresh
     start). The checkpoint's durable frame count is trusted only when every
-    finalized segment it references still exists."""
+    finalized segment it references still exists, and the checkpointed
+    watermark singular values must match the CURRENT watermark's (``sw_now``)
+    — otherwise a rerun with a different watermark (or a different
+    same-sized host producing a different resize) would silently splice
+    segments carrying the old mark."""
     if not os.path.exists(meta_path):
         return None
     try:
@@ -439,6 +446,10 @@ def _load_resume_state(meta_path: str, write_path: str, scheme: str,
             or prev.is_color != color
             or abs(prev.alpha - alpha) > 1e-12
             or prev.frame_interval != frame_interval):
+        return None
+    sw_prev = np.asarray(prev.sw)
+    if (sw_prev.shape != sw_now.shape
+            or not np.allclose(sw_prev, sw_now, rtol=1e-5, atol=1e-3)):
         return None
     segs = video_io.SegmentedVideoWriter.existing_segments(write_path)
     have = {os.path.basename(s) for s in segs}

@@ -38,7 +38,8 @@ _SORT_NET = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 
 def _rotation(app, aqq, apq):
-    """Stable Jacobi rotation; returns (c, s, t=s/c); all inputs [TILE].
+    """Stable Jacobi rotation; returns (c, s, t=s/c, ic=1/c); all inputs
+    [TILE].
 
     Also returns ic = 1/c (free here, needed by the fast-scaled update
     form in ops/wm_pallas.py).

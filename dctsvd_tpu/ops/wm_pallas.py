@@ -29,9 +29,13 @@ Python lists of ``[8, Wb]`` values (batch of blocks on lanes, matrix rows
 on sublanes); ``x.at[i].set`` (scatter — unsupported by Mosaic) never
 appears — list reassignment is pure SSA.
 
-The per-block math matches ops/svd.jacobi_svd + ops/dct exactly (same
-rotation formula, same Batcher ordering network); tests compare against the
-XLA composition in interpret mode and on hardware.
+The per-block math matches ops/svd.jacobi_svd + ops/dct to rounding: the
+kernels use the 2-rsqrt rotation form (svd_pallas._rotation) while the XLA
+oracle keeps the classic div/sqrt form — algebraically identical, with one
+measure-zero divergence (d=0, e<0 picks the opposite ±45° rotation, an
+equally valid choice that cannot change singular values); same Batcher
+ordering network. Tests compare against the XLA composition in interpret
+mode and on hardware.
 """
 
 from __future__ import annotations

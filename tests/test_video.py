@@ -310,10 +310,31 @@ def test_resume_ignores_mismatched_checkpoint(tmp_path, clip, wm_png):
     wm_plane = cv2.resize(wm, (W, H), interpolation=cv2.INTER_AREA)
     out = str(tmp_path / "c.mp4")
     meta_p = str(tmp_path / "c.npz")
-    # checkpoint with a different alpha
-    state = m_video._load_resume_state(meta_p, out, "full", 0.08, 5, False)
+    sw_now = np.asarray(m_video._wm_svd(wm_plane)[1])
+    state = m_video._load_resume_state(meta_p, out, "full", 0.08, 5, False,
+                                       sw_now)
     assert state is None                    # no meta at all
     m_video._embed_video_impl(clip, out, meta_p, wm_plane, 0.05, 5,
                               color=False, resume=True, segment_frames=8)
-    assert m_video._load_resume_state(meta_p, out, "full", 0.08, 5,
-                                      False) is None
+    # different alpha -> rejected
+    assert m_video._load_resume_state(meta_p, out, "full", 0.08, 5, False,
+                                      sw_now) is None
+
+    # forge a mid-run checkpoint (a completed meta has frames_done=-1 and
+    # short-circuits before the identity checks)
+    import dataclasses
+    prev = metaio.load_video_meta(meta_p)
+    metaio.save_video_meta(meta_p, dataclasses.replace(
+        prev, frames_done=8, segments_done=1))
+    seg0 = out + ".seg0000.mp4"
+    with open(seg0, "wb") as f:
+        f.write(b"segment-placeholder")
+    try:
+        # matching watermark + params -> accepted
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now) is not None
+        # different WATERMARK (sw mismatch) -> rejected, same params
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now * 1.5) is None
+    finally:
+        os.remove(seg0)
