@@ -62,8 +62,14 @@ def bgr_to_gray(bgr_u8: jax.Array) -> jax.Array:
 
 def luma_f32(bgr_u8: jax.Array) -> jax.Array:
     """The reference's `_to_Y`: quantized-u8 Y plane as float32
-    (ref: app_dct_svd_single.py:21-24)."""
-    return bgr_to_ycrcb(bgr_u8)[..., 0].astype(jnp.float32)
+    (ref: app_dct_svd_single.py:21-24). Computes ONLY the Y channel —
+    same fixed-point formula as bgr_to_ycrcb's first lane without the
+    discarded Cr/Cb work (the full conversion measured 8.4 ms per 32
+    1080p frames, ~15% of the gray serving path)."""
+    x = bgr_u8.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    y = _descale(r * 4899 + g * 9617 + b * 1868, 14)
+    return jnp.clip(y, 0, 255).astype(jnp.float32)
 
 
 def replace_luma(y_f32: jax.Array, bgr_ref_u8: jax.Array) -> jax.Array:
