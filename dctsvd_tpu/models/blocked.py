@@ -77,8 +77,10 @@ def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
 # kernel-default 4 is kept for cross-path workflows (ops/wm_pallas.py);
 # the serving path takes the 3-sweep variant for ~12% less kernel time.
 # Re-validated each round by the 4K robustness bench (bench.py --config
-# robustness), which runs the fused path on hardware.
-_FUSED_SWEEPS = 3
+# robustness), which runs the fused path on hardware. DCTSVD_FUSED_SWEEPS
+# overrides for sweep-count quality/perf studies.
+import os as _os
+_FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "3"))
 
 
 def _use_fused() -> bool:
