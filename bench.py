@@ -81,10 +81,15 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
         stego, sc, _, _ = embed.__wrapped__(frames, sw, alpha,
                                             with_metrics=False)
         rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha)
-        # acc chains the iterations and depends on every output, so the
-        # final host readback forces the whole sequence to have executed.
-        acc = (acc + jnp.mean(rec.astype(jnp.float32))
-               + jnp.mean(stego.astype(jnp.float32)) + jnp.mean(sc))
+        # acc chains the iterations and depends on every output tensor, so
+        # the final host readback forces the whole sequence to have
+        # executed. Single-element samples, not means: each tensor is
+        # produced whole by one fused kernel (XLA cannot dead-code a
+        # kernel's interior), and full-array reductions measured ~10% of
+        # the step at batch 96.
+        acc = (acc + rec.reshape(-1)[0].astype(jnp.float32)
+               + stego.reshape(-1)[0].astype(jnp.float32)
+               + sc.reshape(-1)[0])
         return stego, rec, acc
 
     log(f"compiling embed+extract {h}x{w} batch={batch} color={color} ...")

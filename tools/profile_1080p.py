@@ -32,7 +32,8 @@ def timed(name, fn, *args, iters=12):
 
 
 def main():
-    h, w, batch = 1080, 1920, 32
+    import os
+    h, w, batch = 1080, 1920, int(os.environ.get("B", "32"))
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), np.uint8))
     wm = jnp.asarray(rng.integers(0, 256, (h, w, 3), np.uint8))
@@ -110,8 +111,17 @@ def main():
     timed("embed only", embed_only, frames, pw.sw, alpha)
     timed("extract only", extract_only, stego0, sc0, pw.ebasis,
           pw.inv_blk, alpha)
+    timed("embed kernel (planes in, s2)",
+          jax.jit(lambda c, sw, a: a + jnp.mean(
+              wm_pallas.embed_plane_blocks.__wrapped__(c, sw, k=4,
+                                                       sweeps=2)[0])),
+          chans, sws)
     timed("embed kernel (planes in, s4)", embed_kernel_only, chans, sws)
     timed("embed kernel (planes in, s3)", embed_kernel_s3, chans, sws)
+    timed("spectrum kernel (planes in, s2)",
+          jax.jit(lambda c, a: a + jnp.mean(
+              wm_pallas.spectrum_plane_blocks.__wrapped__(c, sweeps=2))),
+          chans)
     timed("spectrum kernel (planes in, s4)", spectrum_only, chans)
     timed("spectrum kernel (planes in, s3)", spectrum_s3, chans)
     timed("extract tail (gather+einsum)", extract_tail,
