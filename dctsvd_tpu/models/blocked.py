@@ -431,27 +431,34 @@ def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
     return jnp.median(bands, axis=-1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("kfrac",))
 def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
-                sw: jax.Array, alpha: jax.Array) -> jax.Array:
+                sw: jax.Array, alpha: jax.Array,
+                kfrac: float = K_FRAC_DEFAULT) -> jax.Array:
     """Median-of-band NC between stored and recovered per-block singular
     values (the blocked analog of the reference's detect, made robust to
-    localized damage — see _band_nc)."""
+    localized damage — see _band_nc). The correlation is restricted to
+    the k EMBEDDED components per block: rows >= k carry no mark (the
+    embed masks them), so including them only adds uncorrelated
+    codec/attack noise to the score."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    k = k_of_block(kfrac)
     y = color.luma_f32(stego_bgr_u8)
     s_cw = _plane_spectrum(y)
-    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    return _band_nc(sw, sw_hat, -(-h // BLOCK), -(-w // BLOCK))
+    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    return _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("kfrac",))
 def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
-                 sw: jax.Array, alpha: jax.Array) -> jax.Array:
+                 sw: jax.Array, alpha: jax.Array,
+                 kfrac: float = K_FRAC_DEFAULT) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
+    k = k_of_block(kfrac)
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     s_cw = _plane_spectrum(chans)
-    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    scores = _band_nc(sw, sw_hat, -(-h // BLOCK), -(-w // BLOCK))
+    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    scores = _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
     return jnp.mean(scores, axis=-1)
 
 
@@ -558,5 +565,5 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float):
     fn = detect_color if meta.mode == metaio.MODE_BLOCKED_COLOR else detect_gray
     score = float(fn(jnp.asarray(stego), jnp.asarray(meta.arrays["Sc"]),
                      jnp.asarray(meta.arrays["Sw"]),
-                     jnp.float32(meta.alpha)))
+                     jnp.float32(meta.alpha), kfrac=meta.kfrac))
     return bool(score >= thresh), score
