@@ -80,7 +80,7 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
     def step(frames, sw, ebasis, iblk, alpha, acc):
         stego, sc, _, _ = embed.__wrapped__(frames, sw, alpha,
                                             with_metrics=False)
-        rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha)
+        rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha, sw=sw)
         # acc chains the iterations and depends on every output tensor, so
         # the final host readback forces the whole sequence to have
         # executed. Single-element samples, not means: each tensor is
@@ -257,7 +257,7 @@ def bench_robustness(h=2160, w=3840,
             img_d = jnp.asarray(img[None])
             det = float(blocked.detect_gray(img_d, sc, pw.sw, alpha)[0])
             rec = np.asarray(blocked.extract_gray_prepared(
-                img_d, sc, pw.ebasis, pw.inv_blk, alpha))[0]
+                img_d, sc, pw.ebasis, pw.inv_blk, alpha, sw=pw.sw))[0]
             rec = m_enhance.enhance_gray_np(rec)
             row[name] = {"detect": round(det, 4),
                          "nc": round(_host_nc(rec, wm_gray), 4),

@@ -301,13 +301,15 @@ def embed_color(cover_bgr_u8: jax.Array, wm_bgr_u8: jax.Array,
 def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
                     vwt_nat: jax.Array, inv_blk: jax.Array,
                     inv_intra: jax.Array, alpha: jax.Array, kfrac: float,
-                    normalize: bool, h: int, w: int) -> jax.Array:
+                    normalize: bool, h: int, w: int,
+                    sw: Optional[jax.Array] = None) -> jax.Array:
     _, hp, wp = _pad_to_blocks(y)
     s_cw = _plane_spectrum(y)
 
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    sw_hat = _clamp_sw_hat(sw_hat, sw)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
     # slot order -> natural block order (the only dynamic gather, [N, 8])
     sw_nat = jnp.take(sw_hat, inv_blk, axis=-2)
@@ -324,16 +326,36 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     return wy
 
 
+def _clamp_sw_hat(sw_hat: jax.Array, sw: Optional[jax.Array]) -> jax.Array:
+    """Robustify the recovered estimate against locally-destroyed blocks.
+
+    A blanked/cropped region's blocks yield |ŝw| orders of magnitude above
+    any embedded value ((s_cw − sc)/α of destroyed content), and a handful
+    of such outliers hijack the min–max normalization — a 25%-row crop
+    measured extraction NC −0.15 at 4K even though the keyed block
+    permutation scatters the damage uniformly. The embedded values are
+    KNOWN at extraction (the meta stores Sw), so the estimate is clamped
+    per slot/component to [−0.5·sw, 1.5·sw]: intact blocks (ŝw ≈ sw ±
+    codec noise) are essentially untouched, destroyed blocks degrade into
+    bounded noise instead of normalization-wrecking outliers."""
+    if sw is None:
+        return sw_hat
+    ref = jnp.broadcast_to(sw, sw_hat.shape)
+    return jnp.clip(sw_hat, -0.5 * ref, 1.5 * ref)
+
+
 def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
                              ebasis: jax.Array, inv_blk: jax.Array,
                              alpha: jax.Array, kfrac: float,
-                             normalize: bool, h: int, w: int) -> jax.Array:
+                             normalize: bool, h: int, w: int,
+                             sw: Optional[jax.Array] = None) -> jax.Array:
     """Serving-path extract tail: spectrum -> ŝw gather -> k-term
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
     s_cw = _plane_spectrum(planes)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    sw_hat = _clamp_sw_hat(sw_hat, sw)
     sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
     # The contraction runs with the block's 64 pixels FLATTENED on the
     # minor axis: with 8-sized minor dims XLA hands the dot output a
@@ -357,13 +379,16 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
 def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                           ebasis: jax.Array, inv_blk: jax.Array,
                           alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
-                          normalize: bool = True) -> jax.Array:
+                          normalize: bool = True,
+                          sw: Optional[jax.Array] = None) -> jax.Array:
     """Gray extract against a PreparedWatermark's pixel basis (serving
-    fast path; same result as extract_gray)."""
+    fast path; same result as extract_gray). Pass ``sw`` (the stored
+    watermark SVs, slot order) to clamp outliers from locally-destroyed
+    blocks — see _clamp_sw_hat."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     wy = _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w)
+                                  normalize, h, w, sw=sw)
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
@@ -371,11 +396,12 @@ def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
 def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            ebasis: jax.Array, inv_blk: jax.Array,
                            alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
-                           normalize: bool = True) -> jax.Array:
+                           normalize: bool = True,
+                           sw: Optional[jax.Array] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes_prepared(chans, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w)
+                                  normalize, h, w, sw=sw)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
@@ -383,11 +409,12 @@ def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
 def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                  vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
                  alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
-                 normalize: bool = True) -> jax.Array:
+                 normalize: bool = True,
+                 sw: Optional[jax.Array] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     wy = _extract_planes(y, sc, uw, vwt, inv_blk, inv_intra, alpha,
-                         kfrac, normalize, h, w)
+                         kfrac, normalize, h, w, sw=sw)
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
@@ -395,11 +422,12 @@ def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
 def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                   vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
                   alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
-                  normalize: bool = True) -> jax.Array:
+                  normalize: bool = True,
+                  sw: Optional[jax.Array] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes(chans, sc, uw, vwt, inv_blk, inv_intra, alpha,
-                         kfrac, normalize, h, w)
+                         kfrac, normalize, h, w, sw=sw)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
@@ -544,7 +572,8 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
     fn = extract_color if meta.mode == metaio.MODE_BLOCKED_COLOR else extract_gray
     wm = fn(jnp.asarray(stego), jnp.asarray(sc), jnp.asarray(uw),
             jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
-            kfrac=meta.kfrac, normalize=normalize)
+            kfrac=meta.kfrac, normalize=normalize,
+            sw=jnp.asarray(meta.arrays["Sw"]))
     return to_numpy(wm)
 
 

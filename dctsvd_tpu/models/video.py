@@ -135,14 +135,17 @@ def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
 @functools.partial(jax.jit, static_argnames=("kfrac", "h", "w"))
 def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
                         uw: jax.Array, vwt: jax.Array, alpha: jax.Array,
-                        kfrac: float, h: int, w: int):
+                        kfrac: float, h: int, w: int,
+                        sw: Optional[jax.Array] = None):
     """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
     to the k embedded components, rank-restored through the watermark's
-    block bases, inverse block-DCT. u8-in."""
+    block bases, inverse block-DCT. u8-in. ``sw`` clamps outliers from
+    destroyed blocks (m_blocked._clamp_sw_hat)."""
     s_now = m_blocked._plane_spectrum(planes.astype(jnp.float32))
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
-    sw_hat = jnp.where(mask, (s_now - s_orig) / alpha, 0.0)
+    sw_hat = m_blocked._clamp_sw_hat((s_now - s_orig) / alpha, sw)
+    sw_hat = jnp.where(mask, sw_hat, 0.0)
     blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
                         precision=jax.lax.Precision.HIGHEST)
     hp, wp = h + (-h) % 8, w + (-w) % 8
@@ -626,7 +629,8 @@ def extract_watermark_video(video_path: str, meta_path: str,
         if blocked_scheme:
             est = _recover_wm_blocked(jnp.asarray(planes),
                                       jnp.asarray(sorig), uw_d, vtw_d,
-                                      alpha_d, meta.kfrac, h, w)
+                                      alpha_d, meta.kfrac, h, w,
+                                      sw=jnp.asarray(meta.sw))
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))
             est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d,

@@ -160,3 +160,35 @@ def test_api_blocked_roundtrip(tmp_path, make_image):
     assert oracle.nc(got, ref) > 0.5
     with pytest.raises(ValueError):
         api.extract(out, meta_p, str(tmp_path / "y.png"), password="nope")
+
+
+def test_crop_damage_extraction_clamped(make_image, rng):
+    """Locally-destroyed blocks (25% of rows blanked) must not wreck
+    extraction: the keyed block permutation scatters the damage, and the
+    sw clamp (_clamp_sw_hat) keeps destroyed blocks from hijacking the
+    min-max normalization. Without the clamp this measured NC ~ -0.15."""
+    import cv2
+    from dctsvd_tpu.utils import crypto
+
+    h, w = 96, 128
+    cover = make_image(h, w)
+    wm = np.zeros((h, w), np.uint8)
+    cv2.circle(wm, (w // 2, h // 2), 30, 255, -1)
+    key = crypto.derive_key("pw", bytes(8))
+    blk, intra = crypto.block_permutation_indices(
+        key, blocked.n_blocks_of(h, w))
+    blk, intra = jnp.asarray(blk), jnp.asarray(intra)
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm), blk,
+                             intra, jnp.float32(0.12))
+    stego = np.asarray(res.stego_bgr).copy()
+    stego[: h // 4] = 0                      # destroy 25% of rows
+
+    inv_blk = jnp.argsort(blk)
+    inv_intra = jnp.argsort(intra)
+    rec = np.asarray(blocked.extract_gray(
+        jnp.asarray(stego), res.sc, res.uw, res.vwt, inv_blk, inv_intra,
+        jnp.float32(0.12), sw=res.sw))
+    a = rec.astype(np.float32) - rec.mean()
+    b = wm.astype(np.float32) - wm.mean()
+    nc = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+    assert nc > 0.5, nc
