@@ -604,22 +604,28 @@ def extract_watermark_video(video_path: str, meta_path: str,
     """Average per-frame watermark estimates over all recorded frames
     (ref: video_dct_svd.pyc l.170-241; color: color_video_dct_svd.pyc
     l.272-330 additionally averages the three channels). Marked frames
-    batch into device dispatches of ``chunk``; the cross-frame mean happens
-    on device, so only the final averaged plane is read back."""
+    batch into device dispatches of ``chunk``; decode (seek+read) runs in
+    a producer thread overlapping device work, the cross-frame sum
+    ACCUMULATES ON DEVICE, and only the final averaged plane is read back
+    (per-chunk readbacks were ~8 MB each over the host link)."""
+    import queue
+    import threading
+
     meta = metaio.load_video_meta(meta_path)
     alpha_d = jnp.float32(max(meta.alpha, 1e-8))
     uw_d = jnp.asarray(meta.uw)
     vtw_d = jnp.asarray(meta.vtw)
+    sw_d = jnp.asarray(meta.sw)
     h, w = meta.watermark_shape[:2]
     blocked_scheme = meta.scheme == "blocked"
 
-    acc = None
+    acc_d = None
     count = 0
     planes_buf = []
     sorig_buf = []
 
     def _flush():
-        nonlocal acc, count
+        nonlocal acc_d, count
         if not planes_buf:
             return
         k = len(planes_buf)
@@ -629,36 +635,57 @@ def extract_watermark_video(video_path: str, meta_path: str,
         if blocked_scheme:
             est = _recover_wm_blocked(jnp.asarray(planes),
                                       jnp.asarray(sorig), uw_d, vtw_d,
-                                      alpha_d, meta.kfrac, h, w,
-                                      sw=jnp.asarray(meta.sw))
+                                      alpha_d, meta.kfrac, h, w, sw=sw_d)
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))
             est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d,
                               alpha_d)
         if meta.is_color:
             est = jnp.mean(est, axis=-3)             # [K, H, W]
-        est_np = np.asarray(jnp.sum(est[:k], axis=0))[:h, :w]
-        acc = est_np if acc is None else acc + est_np
+        est_sum = jnp.sum(est[:k, :h, :w], axis=0)   # device-resident
+        acc_d = est_sum if acc_d is None else acc_d + est_sum
         count += k
         planes_buf.clear()
         sorig_buf.clear()
 
-    with video_io.VideoReader(video_path) as reader:
-        for i, idx in enumerate(meta.frame_indices):
-            frame = reader.seek_read(int(idx))
-            if frame is None:
-                continue
-            if meta.is_color:
-                planes_buf.append(np.moveaxis(frame, -1, 0))
-            else:
-                planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
-            sorig_buf.append(np.asarray(meta.s_orig[i]))
-            if len(planes_buf) >= chunk:
-                _flush()
-        _flush()
-    if acc is None:
+    # producer: random-access decode on its own thread (it owns the
+    # capture; cv2.VideoCapture is not shared across threads)
+    q: "queue.Queue" = queue.Queue(maxsize=max(2 * chunk, 8))
+    _DONE = object()
+
+    def _producer():
+        try:
+            with video_io.VideoReader(video_path) as reader:
+                for i, idx in enumerate(meta.frame_indices):
+                    frame = reader.seek_read(int(idx))
+                    if frame is None:
+                        continue
+                    q.put((i, frame))
+            q.put(_DONE)
+        except BaseException as e:
+            q.put(e)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        i, frame = item
+        if meta.is_color:
+            planes_buf.append(np.moveaxis(frame, -1, 0))
+        else:
+            planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+        sorig_buf.append(np.asarray(meta.s_orig[i]))
+        if len(planes_buf) >= chunk:
+            _flush()
+    t.join()
+    _flush()
+    if acc_d is None:
         raise ValueError("No recorded frames could be read from the video.")
-    wm = np.clip(acc / count, 0, 255).astype(np.uint8)
+    wm = np.clip(np.asarray(acc_d) / count, 0, 255).astype(np.uint8)
     if cv2 is not None:
         cv2.imwrite(out_path, wm)
     else:  # pragma: no cover
