@@ -400,7 +400,13 @@ def _plane_cols_view(planes: jax.Array):
     transpose(0, 2, 1)): measured 11 ms per 96-plane 1080p pass on v5e vs
     ~40 ms for the equivalent 5-D swapaxes — XLA picks a tiled lowering
     for the rank-3 pattern but a scalarized one for rank-5, and the
-    difference was as large as the entire 4-sweep Jacobi kernel.
+    difference was as large as the entire 4-sweep Jacobi kernel. An
+    identity-contraction einsum (MXU does the shuffle) measured ~2 ms
+    faster still, but dot_generals with 8-sized minor dims picked a
+    16x-padded output layout at 4K (HBM OOM, see models/blocked.py) —
+    the plain rank-3 transpose is shape-robust. In-kernel relayout
+    (lane gather / value swapaxes / within-tile permutation) crashed the
+    Mosaic remote compiler in all three formulations tried.
     """
     *lead, h, w = planes.shape
     if h % B or w % B:
