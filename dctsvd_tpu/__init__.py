@@ -47,5 +47,5 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 from dctsvd_tpu.api import (embed, extract, detect,  # noqa: E402,F401
-                            embed_payload, extract_payload)
+                            embed_payload, extract_payload, OPEN_MODE)
 from dctsvd_tpu.utils.config import WatermarkConfig  # noqa: E402,F401

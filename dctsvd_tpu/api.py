@@ -9,6 +9,7 @@ pipeline on device. Array-in/array-out variants live in
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -23,6 +24,39 @@ from dctsvd_tpu.utils.xfer import to_numpy
 from dctsvd_tpu.utils.config import DETECT_THRESH_DEFAULT, K_FRAC_DEFAULT
 
 
+class _OpenModeSentinel:
+    """Explicit opt-in to the password-less "open" mode (see OPEN_MODE)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "dctsvd_tpu.OPEN_MODE"
+
+    def __bool__(self) -> bool:
+        return False             # behaves like "no password" downstream
+
+
+#: Pass as ``password=`` to *explicitly* request the legacy open mode
+#: (no permutation, no HMAC — the separated core's behavior,
+#: ref: dct_svd_core_secure.py:101-150). The reference's authoritative app
+#: REFUSES to embed without a password (ref: app_dct_svd_single.py:115-116),
+#: so an implicit ``password=None`` embeds with a UserWarning: the insecure
+#: path must never be the silent path of least resistance.
+OPEN_MODE = _OpenModeSentinel()
+
+
+def _embed_credentials(password):
+    """(key, nonce) for an embed; warns when open mode was NOT explicit."""
+    if password:
+        nonce = crypto.make_nonce()
+        return crypto.derive_key(password, nonce), nonce
+    if password is not OPEN_MODE:
+        warnings.warn(
+            "embedding without a password produces an UNAUTHENTICATED "
+            "open-mode meta (no keyed permutation, no HMAC). Pass a "
+            "password, or password=dctsvd_tpu.OPEN_MODE to opt in "
+            "explicitly.", UserWarning, stacklevel=3)
+    return None, None
+
+
 def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
           alpha: float = 0.1, color: bool = False,
           password: Optional[str] = None, kfrac: float = K_FRAC_DEFAULT,
@@ -30,20 +64,18 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
     """Embed a watermark image into a cover image.
 
     Returns (out_path, meta_path, psnr, ssim), exactly like the reference
-    (ref: app_dct_svd_single.py:112-190). ``password=None`` selects the
-    legacy open mode (no permutation, no HMAC — the separated core's
-    behavior, ref: dct_svd_core_secure.py:101-150); with a password the
-    full secure pipeline applies.
+    (ref: app_dct_svd_single.py:112-190). With a password the full secure
+    pipeline applies. ``password=OPEN_MODE`` selects the legacy open mode
+    (no permutation, no HMAC — the separated core's behavior,
+    ref: dct_svd_core_secure.py:101-150); a plain ``password=None`` also
+    embeds open-mode but emits a UserWarning, because the insecure path
+    must be a choice, not a forgotten kwarg.
     """
     cover = image_io.read_bgr(cover_path)
     wm = image_io.read_bgr(wm_source)
     h, w = cover.shape[:2]
 
-    if password:
-        nonce = crypto.make_nonce()
-        key = crypto.derive_key(password, nonce)
-    else:
-        nonce = key = None
+    key, nonce = _embed_credentials(password)
 
     wm_rs = to_numpy(r_ops.resize_area_u8(jnp.asarray(wm), h, w))
 
@@ -177,8 +209,9 @@ def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
 
     Implements the legacy core's intended text/JSON capability
     (ref: dct_svd_core_secure.py:101-131; that module's own extract path is
-    broken — SURVEY.md §2.2). ``password=None`` is the legacy open mode (no
-    permutation, no HMAC); with a password the full secure pipeline applies.
+    broken — SURVEY.md §2.2). ``password=OPEN_MODE`` is the explicit legacy
+    open mode (no permutation, no HMAC; bare ``password=None`` warns — see
+    :func:`embed`); with a password the full secure pipeline applies.
     ``repeat`` adds bit-level repetition coding for robustness.
     ``method='blocked'`` routes the bit-plane through the throughput
     scheme (per-8×8-block SVD) instead of the full-frame parity scheme.
@@ -190,11 +223,7 @@ def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
     data, ptype = m_payload.payload_to_bytes(payload)
     plane = m_payload.bytes_to_bitplane(data, h, w, repeat=repeat)
 
-    if password:
-        nonce = crypto.make_nonce()
-        key = crypto.derive_key(password, nonce)
-    else:
-        nonce = key = None
+    key, nonce = _embed_credentials(password)
 
     if method == "blocked":
         from dctsvd_tpu.models import blocked as m_blocked

@@ -101,6 +101,8 @@ class Meta:
     nonce: Optional[bytes]
     digest: Optional[bytes]
     arrays: Dict[str, np.ndarray] = field(default_factory=dict)
+    sweeps: int = 0   # embed-time Jacobi sweep schedule (blocked modes;
+                      # 0 = converged/XLA embed) — replayed at extract/detect
 
     @property
     def is_color(self) -> bool:
@@ -131,7 +133,8 @@ class Meta:
 
 
 _SCALARS = {"mode", "payload_type", "alpha", "kfrac", "shape", "nonce",
-            "digest", "text", "font_size", "is_text_watermark", "is_color"}
+            "digest", "text", "font_size", "is_text_watermark", "is_color",
+            "sweeps"}
 
 
 def load_meta(path: str) -> Meta:
@@ -148,10 +151,11 @@ def load_meta(path: str) -> Meta:
                  if "nonce" in keys else None)
         digest = (bytes(data["digest"].astype(np.uint8).tobytes())
                   if "digest" in keys else None)
+        sweeps = int(data["sweeps"]) if "sweeps" in keys else 0
         arrays = {k: np.asarray(data[k]) for k in keys if k not in _SCALARS}
     return Meta(mode=mode, payload_type=payload_type, alpha=alpha,
                 kfrac=kfrac, shape=shape, nonce=nonce, digest=digest,
-                arrays=arrays)
+                arrays=arrays, sweeps=sweeps)
 
 
 def default_stego_path(out_path: str) -> str:
@@ -206,6 +210,12 @@ class VideoMeta:
                                      # into finalized output segments
                                      # (-1 = embed completed, no resume state)
     segments_done: int = 0           # finalized segment count at checkpoint
+    sweeps: int = 0                  # embed-time Jacobi sweep schedule
+                                     # (blocked scheme; 0 = converged/XLA)
+    host_sig: str = ""               # host video identity at checkpoint time
+                                     # (basename:size:mtime) — binds a resume
+                                     # checkpoint to the host file it started
+                                     # from
 
 
 def save_video_meta(path: str, m: VideoMeta) -> str:
@@ -218,7 +228,9 @@ def save_video_meta(path: str, m: VideoMeta) -> str:
               is_text_watermark=bool(m.is_text),
               scheme=m.scheme, kfrac=float(m.kfrac),
               frames_done=int(m.frames_done),
-              segments_done=int(m.segments_done))
+              segments_done=int(m.segments_done),
+              sweeps=int(m.sweeps),
+              host_sig=m.host_sig)
     if m.text is not None:
         kw["text"] = m.text
         kw["font_size"] = int(m.font_size or 40)
@@ -273,4 +285,6 @@ def load_video_meta(path: str) -> VideoMeta:
         frames_done=int(data["frames_done"]) if "frames_done" in keys else -1,
         segments_done=int(data["segments_done"])
         if "segments_done" in keys else 0,
+        sweeps=int(data["sweeps"]) if "sweeps" in keys else 0,
+        host_sig=str(data["host_sig"]) if "host_sig" in keys else "",
     )

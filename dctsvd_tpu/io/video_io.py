@@ -170,10 +170,16 @@ class SegmentedVideoWriter:
         self.frames_written = frames_done   # total across finalized segments
         self._seg_frames = 0
         self._writer: Optional[VideoWriter] = None
-        # drop any partial segment a crashed run left at our start index
-        leftover = self._seg_path(self.segment)
-        if os.path.exists(leftover):
-            os.remove(leftover)
+        # drop the partial segment a crashed run left at our start index AND
+        # every higher-index segment from a stale earlier run (a rejected
+        # checkpoint restarts at segment 0; a rerun producing fewer segments
+        # would otherwise leave orphans that survive finalize())
+        self._drop_segments_from(self.segment)
+
+    def _drop_segments_from(self, start: int):
+        for s in self.existing_segments(self.path):
+            if int(s[-8:-4]) >= start:
+                os.remove(s)
 
     def _seg_path(self, i: int) -> str:
         return f"{self.path}.seg{i:04d}.mp4"
@@ -203,6 +209,7 @@ class SegmentedVideoWriter:
 
     def finalize(self):
         self.roll()
+        self._drop_segments_from(self.segment)   # stale higher-index runs
         segs = [self._seg_path(i) for i in range(self.segment)]
         segs = [s for s in segs if os.path.exists(s)]
         if not _concat_copy(segs, self.path):

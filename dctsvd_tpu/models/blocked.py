@@ -83,6 +83,24 @@ import os as _os
 _FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "3"))
 
 
+def embed_sweeps_used() -> int:
+    """The Jacobi sweep schedule the NEXT embed will run: the fused-kernel
+    sweep count, or 0 for the XLA fallback (converged jacobi_svd). Recorded
+    in the meta so extract/detect replay the same schedule — the 3-sweep
+    quality claim relies on the convergence residual cancelling in
+    (s_cw − sc), which breaks silently if the two sides run different
+    schedules (e.g. embed on TPU, extract via the CPU fallback)."""
+    return _FUSED_SWEEPS if _use_fused() else 0
+
+
+def replay_sweeps(meta_sweeps: int) -> int:
+    """Sweep count extract/detect should run for a meta embedded with
+    ``meta_sweeps`` (0 = converged/XLA embed -> use the kernel-default
+    schedule, whose spectra sit at the f32 floor)."""
+    from dctsvd_tpu.ops import wm_pallas
+    return meta_sweeps if meta_sweeps > 0 else wm_pallas._SWEEPS_DEFAULT
+
+
 def _use_fused() -> bool:
     """Fused Pallas kernels (ops/wm_pallas.py) on TPU backends; the XLA
     composition elsewhere (CPU tests, interpret-free portability)."""
@@ -102,14 +120,17 @@ def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
     return svd.jacobi_svd(coefs, compute_uv=compute_uv), (hp, wp)
 
 
-def _plane_spectrum(plane: jax.Array) -> jax.Array:
+def _plane_spectrum(plane: jax.Array,
+                    sweeps: Optional[int] = None) -> jax.Array:
     """[..., H, W] plane (u8 or float) -> per-block singular values
-    [..., N, 8]. u8 input widens inside the fused view transpose (free)."""
+    [..., N, 8]. u8 input widens inside the fused view transpose (free).
+    ``sweeps`` overrides the fused kernel's schedule (extract/detect pass
+    the embed-time count from the meta — see embed_sweeps_used)."""
     padded, _, _ = _pad_to_blocks(plane)
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
         return wm_pallas.spectrum_plane_blocks.__wrapped__(
-            padded, sweeps=_FUSED_SWEEPS)
+            padded, sweeps=_FUSED_SWEEPS if sweeps is None else sweeps)
     coefs = dct.dct2_plane_blocks(padded.astype(jnp.float32))
     return svd.jacobi_svd(coefs, compute_uv=False)
 
@@ -302,9 +323,10 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
                     vwt_nat: jax.Array, inv_blk: jax.Array,
                     inv_intra: jax.Array, alpha: jax.Array, kfrac: float,
                     normalize: bool, h: int, w: int,
-                    sw: Optional[jax.Array] = None) -> jax.Array:
+                    sw: Optional[jax.Array] = None,
+                    sweeps: Optional[int] = None) -> jax.Array:
     _, hp, wp = _pad_to_blocks(y)
-    s_cw = _plane_spectrum(y)
+    s_cw = _plane_spectrum(y, sweeps)
 
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
@@ -348,12 +370,13 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
                              ebasis: jax.Array, inv_blk: jax.Array,
                              alpha: jax.Array, kfrac: float,
                              normalize: bool, h: int, w: int,
-                             sw: Optional[jax.Array] = None) -> jax.Array:
+                             sw: Optional[jax.Array] = None,
+                             sweeps: Optional[int] = None) -> jax.Array:
     """Serving-path extract tail: spectrum -> ŝw gather -> k-term
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
-    s_cw = _plane_spectrum(planes)
+    s_cw = _plane_spectrum(planes, sweeps)
     sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     sw_hat = _clamp_sw_hat(sw_hat, sw)
     sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
@@ -375,12 +398,14 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     return wy
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "sweeps"))
 def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                           ebasis: jax.Array, inv_blk: jax.Array,
                           alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                           normalize: bool = True,
-                          sw: Optional[jax.Array] = None) -> jax.Array:
+                          sw: Optional[jax.Array] = None,
+                          sweeps: Optional[int] = None) -> jax.Array:
     """Gray extract against a PreparedWatermark's pixel basis (serving
     fast path; same result as extract_gray). Pass ``sw`` (the stored
     watermark SVs, slot order) to clamp outliers from locally-destroyed
@@ -388,46 +413,52 @@ def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     wy = _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw)
+                                  normalize, h, w, sw=sw, sweeps=sweeps)
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "sweeps"))
 def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            ebasis: jax.Array, inv_blk: jax.Array,
                            alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                            normalize: bool = True,
-                           sw: Optional[jax.Array] = None) -> jax.Array:
+                           sw: Optional[jax.Array] = None,
+                           sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes_prepared(chans, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw)
+                                  normalize, h, w, sw=sw, sweeps=sweeps)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "sweeps"))
 def extract_gray(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                  vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
                  alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                  normalize: bool = True,
-                 sw: Optional[jax.Array] = None) -> jax.Array:
+                 sw: Optional[jax.Array] = None,
+                 sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     wy = _extract_planes(y, sc, uw, vwt, inv_blk, inv_intra, alpha,
-                         kfrac, normalize, h, w, sw=sw)
+                         kfrac, normalize, h, w, sw=sw, sweeps=sweeps)
     return jnp.clip(wy, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize", "sweeps"))
 def extract_color(stego_bgr_u8: jax.Array, sc: jax.Array, uw: jax.Array,
                   vwt: jax.Array, inv_blk: jax.Array, inv_intra: jax.Array,
                   alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                   normalize: bool = True,
-                  sw: Optional[jax.Array] = None) -> jax.Array:
+                  sw: Optional[jax.Array] = None,
+                  sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
     wm = _extract_planes(chans, sc, uw, vwt, inv_blk, inv_intra, alpha,
-                         kfrac, normalize, h, w, sw=sw)
+                         kfrac, normalize, h, w, sw=sw, sweeps=sweeps)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
@@ -459,10 +490,11 @@ def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
     return jnp.median(bands, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac",))
+@functools.partial(jax.jit, static_argnames=("kfrac", "sweeps"))
 def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
                 sw: jax.Array, alpha: jax.Array,
-                kfrac: float = K_FRAC_DEFAULT) -> jax.Array:
+                kfrac: float = K_FRAC_DEFAULT,
+                sweeps: Optional[int] = None) -> jax.Array:
     """Median-of-band NC between stored and recovered per-block singular
     values (the blocked analog of the reference's detect, made robust to
     localized damage — see _band_nc). The correlation is restricted to
@@ -472,19 +504,20 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     k = k_of_block(kfrac)
     y = color.luma_f32(stego_bgr_u8)
-    s_cw = _plane_spectrum(y)
+    s_cw = _plane_spectrum(y, sweeps)
     sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
     return _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac",))
+@functools.partial(jax.jit, static_argnames=("kfrac", "sweeps"))
 def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sw: jax.Array, alpha: jax.Array,
-                 kfrac: float = K_FRAC_DEFAULT) -> jax.Array:
+                 kfrac: float = K_FRAC_DEFAULT,
+                 sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     k = k_of_block(kfrac)
     chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
-    s_cw = _plane_spectrum(chans)
+    s_cw = _plane_spectrum(chans, sweeps)
     sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
     return jnp.mean(scores, axis=-1)
@@ -539,7 +572,8 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     kw = dict(mode=mode, payload_type=payload_type,
               Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
               shape=np.asarray((h, w)), alpha=float(alpha),
-              kfrac=float(kfrac), block=BLOCK)
+              kfrac=float(kfrac), block=BLOCK,
+              sweeps=embed_sweeps_used())
     if extra_meta:
         kw.update(extra_meta)
     if key is not None:
@@ -573,7 +607,8 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
     wm = fn(jnp.asarray(stego), jnp.asarray(sc), jnp.asarray(uw),
             jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
             kfrac=meta.kfrac, normalize=normalize,
-            sw=jnp.asarray(meta.arrays["Sw"]))
+            sw=jnp.asarray(meta.arrays["Sw"]),
+            sweeps=replay_sweeps(meta.sweeps))
     return to_numpy(wm)
 
 
@@ -594,5 +629,6 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float):
     fn = detect_color if meta.mode == metaio.MODE_BLOCKED_COLOR else detect_gray
     score = float(fn(jnp.asarray(stego), jnp.asarray(meta.arrays["Sc"]),
                      jnp.asarray(meta.arrays["Sw"]),
-                     jnp.float32(meta.alpha), kfrac=meta.kfrac))
+                     jnp.float32(meta.alpha), kfrac=meta.kfrac,
+                     sweeps=replay_sweeps(meta.sweeps)))
     return bool(score >= thresh), score

@@ -132,16 +132,18 @@ def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "h", "w"))
+@functools.partial(jax.jit, static_argnames=("kfrac", "h", "w", "sweeps"))
 def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
                         uw: jax.Array, vwt: jax.Array, alpha: jax.Array,
                         kfrac: float, h: int, w: int,
-                        sw: Optional[jax.Array] = None):
+                        sw: Optional[jax.Array] = None,
+                        sweeps: Optional[int] = None):
     """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
     to the k embedded components, rank-restored through the watermark's
     block bases, inverse block-DCT. u8-in. ``sw`` clamps outliers from
-    destroyed blocks (m_blocked._clamp_sw_hat)."""
-    s_now = m_blocked._plane_spectrum(planes.astype(jnp.float32))
+    destroyed blocks (m_blocked._clamp_sw_hat); ``sweeps`` replays the
+    embed-time Jacobi schedule from the meta."""
+    s_now = m_blocked._plane_spectrum(planes.astype(jnp.float32), sweeps)
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
     sw_hat = m_blocked._clamp_sw_hat((s_now - s_orig) / alpha, sw)
@@ -237,13 +239,15 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     alpha_d = jnp.float32(alpha)
 
     write_path = out_path + temp_suffix
+    host_sig = _host_signature(host_path)
     frame_indices = []
     s_list = []
     start_frame = 0
     start_segment = 0
     if resume:
         prev = _load_resume_state(meta_path, write_path, scheme, alpha,
-                                  frame_interval, color, to_numpy(sw_d))
+                                  frame_interval, color, to_numpy(sw_d),
+                                  kfrac, host_sig)
         if prev is not None:
             start_frame, start_segment, frame_indices, s_list = prev
             logger.info("resuming video embed at frame %d (segment %d, "
@@ -260,7 +264,10 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
             alpha=alpha, frame_interval=frame_interval,
             watermark_shape=wm_plane.shape, is_color=color,
             scheme=scheme, kfrac=kfrac,
-            frames_done=frames_done, segments_done=segments_done)
+            frames_done=frames_done, segments_done=segments_done,
+            sweeps=(m_blocked.embed_sweeps_used()
+                    if scheme == "blocked" else 0),
+            host_sig=host_sig)
         metaio.save_video_meta(meta_path, meta)
         return meta
 
@@ -361,6 +368,13 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                     >= checkpoint_every):
                 durable["ckpt_marked"] = len(frame_indices)
                 _checkpoint(durable["frames"], durable["segments"])
+            if wait and not inflight and pending and buf:
+                # The head of buf is a marked slot whose chunk is still
+                # filling and nothing is in flight: force the partial chunk
+                # out, otherwise passthrough frames would keep accumulating
+                # up to frame_interval x chunk frames (the buffer cap only
+                # bounds RAM if hitting it guarantees progress).
+                _submit()
             if not inflight or not (wait or inflight[0][0].done()):
                 return
             _drain_one()
@@ -389,11 +403,11 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                                                  reader.width, reader.height)
             with writer_cm as writer:
                 # Passthrough frames drain straight to the writer whenever no
-                # marked frame is awaiting its device result ahead of them, and
-                # a buffer cap forces a (partial-chunk) flush otherwise — so
-                # host RAM between flushes is bounded by max_buffered frames
-                # even at large frame_interval × 4K, instead of growing with
-                # the whole inter-chunk window.
+                # marked frame is awaiting its device result ahead of them;
+                # otherwise the buffer cap makes _pump(wait=True) guarantee
+                # progress — dispatching the partial chunk if that is what
+                # blocks the head — so host RAM between flushes is bounded by
+                # max_buffered frames even at large frame_interval × 4K.
                 max_buffered = 32
                 for idx, frame in video_io.iter_frames_threaded(
                         reader, start_frame=start_frame):
@@ -428,9 +442,22 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     return write_path, meta_path, meta
 
 
+def _host_signature(host_path: str) -> str:
+    """Cheap host-file identity for resume binding: basename, byte size and
+    mtime. Not content-hashed (a 4K clip can be GBs), but enough to catch
+    the realistic accidents — resuming against a different file at the same
+    path or the same name re-rendered."""
+    try:
+        st = os.stat(host_path)
+        return (f"{os.path.basename(host_path)}:{st.st_size}"
+                f":{int(st.st_mtime)}")
+    except OSError:
+        return ""
+
+
 def _load_resume_state(meta_path: str, write_path: str, scheme: str,
                        alpha: float, frame_interval: int, color: bool,
-                       sw_now: np.ndarray):
+                       sw_now: np.ndarray, kfrac: float, host_sig: str):
     """Validate a checkpoint meta + finalized segments for resume; returns
     (start_frame, start_segment, frame_indices, s_list) or None (fresh
     start). The checkpoint's durable frame count is trusted only when every
@@ -438,7 +465,9 @@ def _load_resume_state(meta_path: str, write_path: str, scheme: str,
     watermark singular values must match the CURRENT watermark's (``sw_now``)
     — otherwise a rerun with a different watermark (or a different
     same-sized host producing a different resize) would silently splice
-    segments carrying the old mark."""
+    segments carrying the old mark. ``kfrac`` and the host signature bind
+    the remaining embed parameters: a rerun with a different truncation, or
+    against a different host file, must restart."""
     if not os.path.exists(meta_path):
         return None
     try:
@@ -448,7 +477,12 @@ def _load_resume_state(meta_path: str, write_path: str, scheme: str,
     if (prev.frames_done <= 0 or prev.scheme != scheme
             or prev.is_color != color
             or abs(prev.alpha - alpha) > 1e-12
+            or abs(prev.kfrac - kfrac) > 1e-12
             or prev.frame_interval != frame_interval):
+        return None
+    # pre-round-3 checkpoints carry no host_sig ("") and stay resumable;
+    # any recorded signature must match the current host file exactly
+    if prev.host_sig and prev.host_sig != host_sig:
         return None
     sw_prev = np.asarray(prev.sw)
     if (sw_prev.shape != sw_now.shape
@@ -635,7 +669,9 @@ def extract_watermark_video(video_path: str, meta_path: str,
         if blocked_scheme:
             est = _recover_wm_blocked(jnp.asarray(planes),
                                       jnp.asarray(sorig), uw_d, vtw_d,
-                                      alpha_d, meta.kfrac, h, w, sw=sw_d)
+                                      alpha_d, meta.kfrac, h, w, sw=sw_d,
+                                      sweeps=m_blocked.replay_sweeps(
+                                          meta.sweeps))
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))
             est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d,

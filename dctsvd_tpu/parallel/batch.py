@@ -1,4 +1,4 @@
-"""Sharded batch pipelines: multi-chip detect / embed / extract.
+"""Sharded batch pipelines: multi-chip detect / embed / extract serving.
 
 BASELINE.json config 3 ("score 1k stego images against one meta") is the
 canonical use: images shard over the 'batch' mesh axis, the meta arrays
@@ -6,11 +6,17 @@ replicate, each chip runs the values-only blocked SVD on its shard, and the
 mean/threshold reduction is the only cross-chip communication (XLA inserts
 an all-reduce over ICI for it). The same pattern drives multi-chip video
 throughput: the frame chunk is the batch.
+
+Compilation contract: every public entry point resolves its jitted
+executable from a module-level cache keyed on (body, mesh, static args) —
+round 2 re-wrapped a fresh lambda in ``jax.jit`` per call, which recompiled
+on EVERY invocation and made the layer unusable for serving. A serving loop
+now pays one compile per (mesh, shape) like the single-chip path does.
 """
 
 from __future__ import annotations
 
-
+import functools
 from typing import Optional
 
 import jax
@@ -21,20 +27,42 @@ from dctsvd_tpu.models import blocked, image as m_image
 from dctsvd_tpu.parallel import mesh as mesh_lib
 
 
-def _sharded_jit(fn, mesh: Mesh, n_batch_args: int):
-    """jit with leading-axis sharding on the first n args, replication on
-    the rest, sharded outputs."""
+# --- module-level bodies (stable identities for the jit cache) -----------
+
+def _detect_blocked_body(st, sc, sw, alpha):
+    return blocked.detect_gray.__wrapped__(st, sc, sw, alpha)
+
+
+def _detect_full_body(st, sc, sw, alpha):
+    return jax.vmap(m_image.detect_gray.__wrapped__,
+                    in_axes=(0, None, None, None))(st, sc, sw, alpha)
+
+
+def _embed_prepared_body(kfrac, frames, sw, alpha):
+    stego, sc, _, _ = blocked.embed_gray_prepared.__wrapped__(
+        frames, sw, alpha, kfrac=kfrac, with_metrics=False)
+    return stego, sc
+
+
+def _extract_prepared_body(kfrac, stego, sc, ebasis, inv_blk, sw, alpha):
+    return blocked.extract_gray_prepared.__wrapped__(
+        stego, sc, ebasis, inv_blk, alpha, kfrac=kfrac, sw=sw)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_jit(body, mesh: Mesh, n_batch_args: int, n_args: int,
+                 static=()):
+    """One jitted executable per (body, mesh, arity, statics): leading-axis
+    sharding on the first ``n_batch_args`` args, replication on the rest,
+    batch-sharded outputs. Cached at module level so serving loops compile
+    once — NOT once per call."""
     bs = mesh_lib.batch_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
-
-    def in_shardings(nargs):
-        return tuple(bs if i < n_batch_args else rep for i in range(nargs))
-
-    def wrapper(*args):
-        jitted = jax.jit(fn, in_shardings=in_shardings(len(args)),
-                         out_shardings=bs)
-        return jitted(*args)
-    return wrapper
+    fn = functools.partial(body, *static) if static else body
+    return jax.jit(fn,
+                   in_shardings=tuple(bs if i < n_batch_args else rep
+                                      for i in range(n_args)),
+                   out_shardings=bs)
 
 
 def batch_detect_blocked(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
@@ -43,9 +71,7 @@ def batch_detect_blocked(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
     B must divide by the mesh's batch axis size."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    fn = _sharded_jit(
-        lambda st, sc_, sw_, a: blocked.detect_gray.__wrapped__(st, sc_, sw_, a),
-        mesh, 1)
+    fn = _sharded_jit(_detect_blocked_body, mesh, 1, 4)
     return fn(stegos, sc, sw, jnp.float32(alpha))
 
 
@@ -55,10 +81,52 @@ def batch_detect_full(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
     sharded over chips."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    body = jax.vmap(m_image.detect_gray.__wrapped__,
-                    in_axes=(0, None, None, None))
-    fn = _sharded_jit(body, mesh, 1)
+    fn = _sharded_jit(_detect_full_body, mesh, 1, 4)
     return fn(stegos, sc, sw, jnp.float32(alpha))
+
+
+def batch_embed_prepared(frames: jax.Array, sw: jax.Array, alpha,
+                         kfrac: float = 0.6,
+                         mesh: Optional[Mesh] = None):
+    """Serving-shaped sharded embed: [B, H, W, 3] frames against a
+    PreparedWatermark's slot-ordered ``sw`` (replicated). Returns
+    (stego u8, sc), both batch-sharded and device-resident — the
+    multi-chip analog of blocked.embed_gray_prepared, same jit-cache
+    discipline."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    fn = _sharded_jit(_embed_prepared_body, mesh, 1, 3, static=(kfrac,))
+    return fn(frames, sw, jnp.float32(alpha))
+
+
+def batch_extract_prepared(stegos: jax.Array, sc: jax.Array,
+                           ebasis: jax.Array, inv_blk: jax.Array,
+                           sw: jax.Array, alpha, kfrac: float = 0.6,
+                           mesh: Optional[Mesh] = None) -> jax.Array:
+    """Sharded serving extract against the prepared pixel basis
+    (replicated); per-frame sc shards with its frames."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    fn = _sharded_jit(_extract_prepared_body, mesh, 2, 6, static=(kfrac,))
+    return fn(stegos, sc, ebasis, inv_blk, sw, jnp.float32(alpha))
+
+
+def _embed_full_meta_body(kfrac, fr, wm, blk, intra, a):
+    r = blocked.embed_gray.__wrapped__(fr, wm, blk, intra, a, kfrac=kfrac)
+    return {"stego": r.stego_bgr, "sc": r.sc,
+            "uw": r.uw, "vwt": r.vwt, "sw": r.sw,
+            "psnr": r.psnr, "ssim": r.ssim}
+
+
+@functools.lru_cache(maxsize=16)
+def _embed_full_meta_jit(mesh: Mesh, kfrac: float):
+    bs = mesh_lib.batch_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+    out_sh = {"stego": bs, "sc": bs, "uw": rep, "vwt": rep, "sw": rep,
+              "psnr": rep, "ssim": rep}
+    return jax.jit(functools.partial(_embed_full_meta_body, kfrac),
+                   in_shardings=(bs, rep, rep, rep, rep),
+                   out_shardings=out_sh)
 
 
 def batch_embed_blocked(frames: jax.Array, wm_gray: jax.Array,
@@ -66,23 +134,9 @@ def batch_embed_blocked(frames: jax.Array, wm_gray: jax.Array,
                         kfrac: float = 0.6, mesh: Optional[Mesh] = None):
     """Sharded blocked embed over a frame batch [B, H, W, 3]; the watermark
     plane and permutation indices replicate. Returns stego batch + per-frame
-    meta arrays, all sharded over 'batch'."""
+    meta arrays (per-frame arrays sharded over 'batch', the shared watermark
+    basis and scalar quality metrics replicated)."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    bs = mesh_lib.batch_sharding(mesh)
-    rep = mesh_lib.replicated(mesh)
-
-    def body(fr, wm, blk, intra, a):
-        r = blocked.embed_gray.__wrapped__(fr, wm, blk, intra, a,
-                                           kfrac=kfrac)
-        # per-frame arrays shard over 'batch'; the shared watermark basis
-        # and the scalar quality metrics replicate
-        return {"stego": r.stego_bgr, "sc": r.sc,
-                "uw": r.uw, "vwt": r.vwt, "sw": r.sw,
-                "psnr": r.psnr, "ssim": r.ssim}
-
-    out_sh = {"stego": bs, "sc": bs, "uw": rep, "vwt": rep, "sw": rep,
-              "psnr": rep, "ssim": rep}
-    jitted = jax.jit(body, in_shardings=(bs, rep, rep, rep, rep),
-                     out_shardings=out_sh)
+    jitted = _embed_full_meta_jit(mesh, kfrac)
     return jitted(frames, wm_gray, blk_idx, intra_idx, jnp.float32(alpha))

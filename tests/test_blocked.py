@@ -192,3 +192,20 @@ def test_crop_damage_extraction_clamped(make_image, rng):
     b = wm.astype(np.float32) - wm.mean()
     nc = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
     assert nc > 0.5, nc
+
+
+def test_image_meta_records_sweeps(tmp_path, make_image):
+    """The blocked image meta records the embed-time sweep schedule
+    (0 on the XLA fallback path tests run on) and extraction replays it."""
+    import cv2
+    from dctsvd_tpu.io import meta as metaio
+    from dctsvd_tpu.models import blocked as m_blocked
+    cover, wm = make_image(64, 64), make_image(32, 32, blur=False)
+    cp, wp = str(tmp_path / "c.png"), str(tmp_path / "w.png")
+    cv2.imwrite(cp, cover)
+    cv2.imwrite(wp, wm)
+    out, mp, *_ = api.embed(cp, wp, str(tmp_path / "s.png"),
+                            str(tmp_path / "m.npz"), password="pw",
+                            method="blocked")
+    meta = metaio.load_meta(mp)
+    assert meta.sweeps == m_blocked.embed_sweeps_used()

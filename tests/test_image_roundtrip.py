@@ -146,8 +146,8 @@ def test_secure_meta_requires_password(tmp_path, cover, wm):
 
 @pytest.mark.parametrize("method", ["full", "blocked"])
 def test_open_mode_roundtrip(tmp_path, make_image, method):
-    """password=None = the legacy core's open mode: no permutation, no
-    HMAC, meta carries no nonce/digest keys (ref: dct_svd_core_secure.py
+    """password=OPEN_MODE = the legacy core's open mode: no permutation,
+    no HMAC, meta carries no nonce/digest keys (ref: dct_svd_core_secure.py
     :101-150); extraction works without a password."""
     import cv2
     cover = make_image(96, 96)
@@ -157,7 +157,7 @@ def test_open_mode_roundtrip(tmp_path, make_image, method):
     cv2.imwrite(wp, wm)
     out, mp, ps, _ = api.embed(cp, wp, str(tmp_path / "s.png"),
                                str(tmp_path / "m.npz"), alpha=0.12,
-                               password=None, method=method)
+                               password=api.OPEN_MODE, method=method)
     assert ps > 20
     with np.load(mp) as data:
         assert "nonce" not in data and "digest" not in data
@@ -169,3 +169,28 @@ def test_open_mode_roundtrip(tmp_path, make_image, method):
                                   interpolation=cv2.INTER_AREA),
                        cv2.COLOR_BGR2GRAY)
     assert oracle.nc(cv2.imread(got, cv2.IMREAD_GRAYSCALE), ref) > 0.5
+
+
+def test_passwordless_embed_warns(tmp_path, cover, wm):
+    """VERDICT r2 #5: the insecure open mode must be explicit. A bare
+    password=None embed emits a UserWarning (the reference's authoritative
+    core refuses outright, ref: app_dct_svd_single.py:115-116);
+    password=OPEN_MODE and real passwords embed silently."""
+    import warnings
+    cp, wp = _paths(tmp_path, cover, wm)
+
+    with pytest.warns(UserWarning, match="open-mode"):
+        api.embed(cp, wp, str(tmp_path / "s1.png"),
+                  str(tmp_path / "m1.npz"), password=None)
+    with pytest.warns(UserWarning, match="open-mode"):
+        api.embed_payload(cp, "x", str(tmp_path / "s2.png"),
+                          str(tmp_path / "m2.npz"))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        api.embed(cp, wp, str(tmp_path / "s3.png"),
+                  str(tmp_path / "m3.npz"), password=api.OPEN_MODE)
+        api.embed(cp, wp, str(tmp_path / "s4.png"),
+                  str(tmp_path / "m4.npz"), password=PW)
+        api.embed_payload(cp, "x", str(tmp_path / "s5.png"),
+                          str(tmp_path / "m5.npz"), password=api.OPEN_MODE)

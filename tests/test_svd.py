@@ -1,6 +1,15 @@
 import numpy as np
+import pytest
 
 from dctsvd_tpu.ops import svd
+
+
+@pytest.fixture()
+def rng():
+    # Local deterministic stream, NOT the session-scoped conftest rng:
+    # these tests assert tight numeric tolerances, and drawing from a
+    # shared stream makes them depend on which tests ran before them.
+    return np.random.default_rng(20260817)
 
 
 def test_jacobi_values_match_lapack(rng):

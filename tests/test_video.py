@@ -311,14 +311,15 @@ def test_resume_ignores_mismatched_checkpoint(tmp_path, clip, wm_png):
     out = str(tmp_path / "c.mp4")
     meta_p = str(tmp_path / "c.npz")
     sw_now = np.asarray(m_video._wm_svd(wm_plane)[1])
+    sig = m_video._host_signature(clip)
     state = m_video._load_resume_state(meta_p, out, "full", 0.08, 5, False,
-                                       sw_now)
+                                       sw_now, 1.0, sig)
     assert state is None                    # no meta at all
     m_video._embed_video_impl(clip, out, meta_p, wm_plane, 0.05, 5,
                               color=False, resume=True, segment_frames=8)
     # different alpha -> rejected
     assert m_video._load_resume_state(meta_p, out, "full", 0.08, 5, False,
-                                      sw_now) is None
+                                      sw_now, 1.0, sig) is None
 
     # forge a mid-run checkpoint (a completed meta has frames_done=-1 and
     # short-circuits before the identity checks)
@@ -332,9 +333,68 @@ def test_resume_ignores_mismatched_checkpoint(tmp_path, clip, wm_png):
     try:
         # matching watermark + params -> accepted
         assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
-                                          False, sw_now) is not None
+                                          False, sw_now, 1.0, sig) is not None
         # different WATERMARK (sw mismatch) -> rejected, same params
         assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
-                                          False, sw_now * 1.5) is None
+                                          False, sw_now * 1.5, 1.0,
+                                          sig) is None
+        # different kfrac -> rejected (ADVICE r2: kfrac was unvalidated)
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now, 0.6, sig) is None
+        # different host file identity -> rejected (ADVICE r2: the
+        # checkpoint is bound to the host video it started from)
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now, 1.0,
+                                          "other.mp4:123:456") is None
+        # legacy checkpoint without host_sig stays resumable
+        import dataclasses as _dc
+        metaio.save_video_meta(meta_p, _dc.replace(
+            metaio.load_video_meta(meta_p), host_sig=""))
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now, 1.0, sig) is not None
     finally:
         os.remove(seg0)
+
+
+def test_stale_segments_cleaned(tmp_path):
+    """ADVICE r2: a fresh SegmentedVideoWriter must delete higher-index
+    segments from a stale earlier run, and finalize() must not leave
+    orphans behind."""
+    base = str(tmp_path / "v.mp4")
+    for i in range(3):
+        with open(f"{base}.seg{i:04d}.mp4", "wb") as f:
+            f.write(b"stale")
+    w = video_io.SegmentedVideoWriter(base, 10, 32, 16)
+    # fresh start (segment 0): every stale segment is gone
+    assert video_io.SegmentedVideoWriter.existing_segments(base) == []
+    frame = np.zeros((16, 32, 3), np.uint8)
+    for _ in range(4):
+        w.write(frame)
+    w.roll()
+    # forge a stale higher-index segment appearing mid-run; finalize must
+    # drop it rather than leave it on disk
+    with open(f"{base}.seg0007.mp4", "wb") as f:
+        f.write(b"stale")
+    w.finalize()
+    assert os.path.exists(base)
+    assert video_io.SegmentedVideoWriter.existing_segments(base) == []
+
+
+def test_video_meta_sweeps_roundtrip(tmp_path):
+    """ADVICE r2: the embed-time Jacobi sweep schedule rides the meta so
+    extract/detect replay it (convergence residual cancellation)."""
+    from dctsvd_tpu.models import blocked as m_blocked
+    m = metaio.VideoMeta(
+        frame_indices=np.array([0, 5]), s_orig=np.zeros((2, 4), np.float32),
+        uw=np.eye(4, dtype=np.float32), sw=np.ones(4, np.float32),
+        vtw=np.eye(4, dtype=np.float32), alpha=0.1, frame_interval=5,
+        watermark_shape=(4, 4), scheme="blocked", kfrac=0.6, sweeps=3,
+        host_sig="clip.mp4:1:2")
+    p = str(tmp_path / "m.npz")
+    metaio.save_video_meta(p, m)
+    back = metaio.load_video_meta(p)
+    assert back.sweeps == 3 and back.host_sig == "clip.mp4:1:2"
+    assert m_blocked.replay_sweeps(back.sweeps) == 3
+    # 0 = converged/XLA embed -> replay at the kernel-default schedule
+    from dctsvd_tpu.ops import wm_pallas
+    assert m_blocked.replay_sweeps(0) == wm_pallas._SWEEPS_DEFAULT
