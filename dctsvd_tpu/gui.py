@@ -2,7 +2,17 @@
 the reference app's workflow (ref: app_dct_svd_single.py:330-480): alpha
 slider 0.01–0.30 synced with a spinbox (default 0.12), auto-filled
 `<base>_stego.png` / `<base>_stego_meta.npz` / `<base>_wm.png` output paths
-when a cover is chosen, password fields, and an error label per tab.
+when a cover is chosen, password fields, an error label per tab, and image
+preview panes for the host image on pick and the extracted watermark after
+extract (ref shows both: app_dct_svd_single.py:342,420-423,456-463 via
+cv2_to_qpixmap at :323-328).
+
+Structure: the three tab actions are PURE module-level handlers
+(:func:`handle_embed` / :func:`handle_extract` / :func:`handle_detect` —
+plain args in, :class:`HandlerResult` out, no tkinter anywhere) so their
+logic — including the password guard the reference app enforces
+(ref: app_dct_svd_single.py:115-116) — is unit-testable headlessly; the tk
+layer in :func:`main` is a thin shell that binds widgets to them.
 
 Uses tkinter (always present in CPython) so the framework carries no Qt
 dependency; the CLI (dctsvd_tpu.cli) remains the primary interface and the
@@ -13,18 +23,112 @@ from __future__ import annotations
 
 import os
 import traceback
+from typing import NamedTuple, Optional
+
+
+class HandlerResult(NamedTuple):
+    """Outcome of a GUI action: ``message`` goes to the tab's info label,
+    ``preview_path`` (if set) is an image the shell should display."""
+    ok: bool
+    message: str
+    preview_path: Optional[str] = None
+
+
+def default_paths(cover_path: str):
+    """Auto-filled output paths when a host image is chosen
+    (ref: app_dct_svd_single.py:339-346): (stego, meta, extracted-wm)."""
+    base = os.path.splitext(cover_path)[0]
+    return (base + "_stego.png", base + "_stego_meta.npz",
+            base + "_wm.png")
+
+
+def handle_embed(cover: str, wm: str, out: str, password: str,
+                 alpha: float, color: bool, blocked: bool) -> HandlerResult:
+    """EMBED action. Refuses an empty password like the reference app
+    (ref: app_dct_svd_single.py:115-116) — the password-less open mode is
+    available via the library API / CLI only, never as a GUI default."""
+    if not password:
+        return HandlerResult(False, "ERROR: password required (the open, "
+                             "password-less mode is available via the "
+                             "library API / CLI only).")
+    if not cover or not wm:
+        return HandlerResult(False, "ERROR: choose a host image and a "
+                             "watermark first.")
+    try:
+        from dctsvd_tpu import api
+        outp = out or "stego.png"
+        meta = os.path.splitext(outp)[0] + "_meta.npz"
+        out_p, meta_p, ps, ss = api.embed(
+            cover, wm, outp, meta, alpha=float(alpha), color=color,
+            password=password, method="blocked" if blocked else "full")
+        return HandlerResult(True, f"Saved: {out_p}\nMeta: {meta_p}\n"
+                             f"PSNR: {ps:.2f}  SSIM: {ss:.4f}",
+                             preview_path=out_p)
+    except Exception as e:
+        traceback.print_exc()
+        return HandlerResult(False, "ERROR: " + str(e))
+
+
+def handle_extract(stego: str, meta: str, out: str,
+                   password: str) -> HandlerResult:
+    """EXTRACT action; the recovered watermark path doubles as the
+    preview (ref shows it: app_dct_svd_single.py:456-463)."""
+    if not stego or not meta:
+        return HandlerResult(False, "ERROR: choose a stego image and its "
+                             "meta (.npz) first.")
+    try:
+        from dctsvd_tpu import api
+        out_p = api.extract(stego, meta, out or "wm.png",
+                            password=password or None)
+        return HandlerResult(True, f"Extracted watermark: {out_p}",
+                             preview_path=out_p)
+    except Exception as e:
+        return HandlerResult(False, "ERROR: " + str(e))
+
+
+def handle_detect(stego: str, meta: str) -> HandlerResult:
+    """DETECT action (no password — ref: app_dct_svd_single.py:291-318)."""
+    if not stego or not meta:
+        return HandlerResult(False, "ERROR: choose a stego image and its "
+                             "meta (.npz) first.")
+    try:
+        from dctsvd_tpu import api
+        ok, score = api.detect(stego, meta)
+        return HandlerResult(True, f"Score: {score:.4f} -> "
+                             f"{'Watermarked' if ok else 'Not found'}")
+    except Exception as e:
+        return HandlerResult(False, "ERROR: " + str(e))
+
+
+def preview_ppm_bytes(image_path: str, max_side: int = 220) -> bytes:
+    """Binary P6 PPM thumbnail of an image file — the format
+    ``tk.PhotoImage(data=...)`` accepts on every Tk build, so previews
+    need no extra dependency. Pure bytes out: testable without a display."""
+    import cv2
+    import numpy as np
+    img = cv2.imread(image_path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError(f"Cannot open image: {image_path}")
+    h, w = img.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    if scale < 1.0:
+        img = cv2.resize(img, (max(1, int(w * scale)),
+                               max(1, int(h * scale))),
+                         interpolation=cv2.INTER_AREA)
+    rgb = np.ascontiguousarray(img[..., ::-1])      # BGR -> RGB
+    header = f"P6 {rgb.shape[1]} {rgb.shape[0]} 255\n".encode()
+    return header + rgb.tobytes()
 
 
 def main():  # pragma: no cover - interactive
     import tkinter as tk
     from tkinter import filedialog, ttk
 
-    from dctsvd_tpu import api
-
     root = tk.Tk()
     root.title("DCT-SVD Watermarking (TPU)")
     nb = ttk.Notebook(root)
     nb.pack(fill="both", expand=True, padx=8, pady=8)
+    photo_refs = {}          # keep PhotoImage objects alive per pane
 
     def file_row(parent, label, var, save=False, filetypes=None):
         row = ttk.Frame(parent)
@@ -43,6 +147,22 @@ def main():  # pragma: no cover - interactive
         ttk.Button(row, text="Browse", command=browse).pack(side="left")
         return row
 
+    def preview_pane(parent, key, title):
+        frame = ttk.LabelFrame(parent, text=title)
+        frame.pack(side="left", padx=4, pady=4)
+        lbl = ttk.Label(frame, text="(none)")
+        lbl.pack(padx=4, pady=4)
+
+        def show(path):
+            try:
+                photo = tk.PhotoImage(data=preview_ppm_bytes(path))
+            except Exception:
+                lbl.configure(text="(preview unavailable)", image="")
+                return
+            photo_refs[key] = photo             # prevent GC
+            lbl.configure(image=photo, text="")
+        return show
+
     # ---- EMBED tab
     et = ttk.Frame(nb)
     nb.add(et, text="EMBED")
@@ -55,14 +175,20 @@ def main():  # pragma: no cover - interactive
     blocked_v = tk.BooleanVar(value=False)
     info_v = tk.StringVar(value="-")
 
+    previews = ttk.Frame(et)
+    show_host = preview_pane(previews, "host", "Host image")
+    show_stego = preview_pane(previews, "stego", "Stego result")
+
     def on_cover_change(*_):
         p = cover_v.get()
         if p:
-            base = os.path.splitext(p)[0]
-            out_v.set(base + "_stego.png")
-            x_stego_v.set(base + "_stego.png")
-            x_meta_v.set(base + "_stego_meta.npz")
-            x_out_v.set(base + "_wm.png")
+            stego_p, meta_p, wm_p = default_paths(p)
+            out_v.set(stego_p)
+            x_stego_v.set(stego_p)
+            x_meta_v.set(meta_p)
+            x_out_v.set(wm_p)
+            if os.path.exists(p):
+                show_host(p)                    # ref: :342 preview on pick
     cover_v.trace_add("write", on_cover_change)
 
     file_row(et, "Host image", cover_v)
@@ -84,28 +210,14 @@ def main():  # pragma: no cover - interactive
     ttk.Label(et, textvariable=info_v, wraplength=560).pack(fill="x")
 
     def do_embed():
-        try:
-            # The reference app refuses to embed without a password
-            # (an empty field would silently select the unprotected open
-            # mode — a security footgun); require it explicitly here.
-            if not pwd_v.get():
-                info_v.set("ERROR: password required (the open, "
-                           "password-less mode is available via the "
-                           "library API / CLI only).")
-                return
-            outp = out_v.get() or "stego.png"
-            meta = os.path.splitext(outp)[0] + "_meta.npz"
-            out, meta_p, ps, ss = api.embed(
-                cover_v.get(), wm_v.get(), outp, meta,
-                alpha=float(alpha_v.get()), color=color_v.get(),
-                password=pwd_v.get(),
-                method="blocked" if blocked_v.get() else "full")
-            info_v.set(f"Saved: {out}\nMeta: {meta_p}\n"
-                       f"PSNR: {ps:.2f}  SSIM: {ss:.4f}")
-        except Exception as e:
-            info_v.set("ERROR: " + str(e))
-            traceback.print_exc()
+        res = handle_embed(cover_v.get(), wm_v.get(), out_v.get(),
+                           pwd_v.get(), alpha_v.get(), color_v.get(),
+                           blocked_v.get())
+        info_v.set(res.message)
+        if res.preview_path:
+            show_stego(res.preview_path)
     ttk.Button(et, text="EMBED WATERMARK", command=do_embed).pack(pady=6)
+    previews.pack(fill="x")
 
     # ---- EXTRACT tab
     xt = ttk.Frame(nb)
@@ -124,17 +236,18 @@ def main():  # pragma: no cover - interactive
     ttk.Label(row, text="Password").pack(side="left")
     ttk.Entry(row, textvariable=x_pwd_v, show="*").pack(side="left")
     ttk.Label(xt, textvariable=x_info_v, wraplength=560).pack(fill="x")
+    x_previews = ttk.Frame(xt)
+    show_wm = preview_pane(x_previews, "wm", "Extracted watermark")
 
     def do_extract():
-        try:
-            out = api.extract(x_stego_v.get(), x_meta_v.get(),
-                              x_out_v.get() or "wm.png",
-                              password=x_pwd_v.get())
-            x_info_v.set(f"Extracted watermark: {out}")
-        except Exception as e:
-            x_info_v.set("ERROR: " + str(e))
+        res = handle_extract(x_stego_v.get(), x_meta_v.get(),
+                             x_out_v.get(), x_pwd_v.get())
+        x_info_v.set(res.message)
+        if res.preview_path:
+            show_wm(res.preview_path)       # ref: :456-463 preview
     ttk.Button(xt, text="EXTRACT (password required)",
                command=do_extract).pack(pady=6)
+    x_previews.pack(fill="x")
 
     # ---- DETECT tab
     dt = ttk.Frame(nb)
@@ -147,15 +260,10 @@ def main():  # pragma: no cover - interactive
     ttk.Label(dt, textvariable=d_info_v).pack(fill="x")
 
     def do_detect():
-        try:
-            ok, score = api.detect(d_stego_v.get(), d_meta_v.get())
-            d_info_v.set(f"Score: {score:.4f} -> "
-                         f"{'Watermarked' if ok else 'Not found'}")
-        except Exception as e:
-            d_info_v.set("ERROR: " + str(e))
+        d_info_v.set(handle_detect(d_stego_v.get(), d_meta_v.get()).message)
     ttk.Button(dt, text="DETECT", command=do_detect).pack(pady=6)
 
-    root.geometry("640x460")
+    root.geometry("720x560")
     root.mainloop()
 
 

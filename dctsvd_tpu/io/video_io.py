@@ -149,6 +149,86 @@ def iter_frames_threaded(reader: "VideoReader", start_frame: int = 0,
             t.join(timeout=0.1)
 
 
+class AsyncEncoder:
+    """Pipeline stage that moves mp4 encoding off the caller's thread.
+
+    The embed loop's main thread previously interleaved encoding with
+    coordinating device dispatches — on a tunnel-attached chip the encode
+    was serialized against the host-link WAIT instead of overlapping it
+    (VERDICT r2 #3). This wraps any writer (VideoWriter or
+    SegmentedVideoWriter) with a bounded FIFO consumed by one encoder
+    thread: ``write`` enqueues, ``sync_roll`` drains the queue up to the
+    roll and returns the durable frame count (so checkpoint consistency is
+    unchanged — a checkpoint never claims frames that are not on disk),
+    and ``close`` drains and joins. FIFO order preserves the exact
+    write/roll sequence of the synchronous version, so segment boundaries
+    — and therefore resumed outputs — stay byte-identical.
+
+    Encoder-thread exceptions (disk full, codec failure) re-raise on the
+    caller's next ``write``/``sync_roll``/``close``.
+    """
+
+    _ROLL = "roll"
+
+    def __init__(self, writer, queue_size: int = 64):
+        self._writer = writer
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._exc: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                kind, payload = item
+                if self._exc is not None:
+                    # after a failure keep draining so producers/futures
+                    # never deadlock on a full queue
+                    if kind == self._ROLL:
+                        payload.set_exception(self._exc)
+                    continue
+                if kind == self._ROLL:
+                    try:
+                        payload.set_result(self._writer.roll())
+                    except BaseException as e:
+                        self._exc = e
+                        payload.set_exception(e)
+                else:
+                    try:
+                        self._writer.write(payload)
+                    except BaseException as e:
+                        self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._exc is not None:
+            raise self._exc
+
+    def write(self, frame_bgr: np.ndarray):
+        self._check()
+        self._q.put(("frame", frame_bgr))
+
+    def sync_roll(self) -> int:
+        """Drain queued frames, finalize the open segment, return total
+        durable frames (SegmentedVideoWriter.roll contract)."""
+        from concurrent.futures import Future
+        self._check()
+        fut: "Future[int]" = Future()
+        self._q.put((self._ROLL, fut))
+        return fut.result()
+
+    def close(self):
+        """Drain and stop the encoder thread (does NOT close the
+        underlying writer — its context manager owns that)."""
+        self._q.put(None)
+        self._t.join()
+        self._check()
+
+
 class SegmentedVideoWriter:
     """Checkpointable writer: output accumulates as finalized segment files
     ``<base>.seg0000.mp4, ...`` so an interrupted run loses at most the

@@ -330,8 +330,9 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
 
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
-    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    sw_hat = _clamp_sw_hat(sw_hat, sw)
+    raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    bad = _erasure_mask(raw, sw, k)
+    sw_hat = _clamp_sw_hat(raw, sw)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
     # slot order -> natural block order (the only dynamic gather, [N, 8])
     sw_nat = jnp.take(sw_hat, inv_blk, axis=-2)
@@ -341,11 +342,63 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     # inverse DCT with the shared intra-block unshuffle folded in
     wy = dct.idct2_blocks_to_plane(wm_blocks, hp, wp,
                                    row_perm=inv_intra)[..., :h, :w]
-    if normalize:
+    bad_nat = None if bad is None else jnp.take(bad, inv_blk, axis=-1)
+    return _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
+
+
+def _erasure_mask(raw: jax.Array, sw: Optional[jax.Array],
+                  k: int) -> Optional[jax.Array]:
+    """[..., N] bool: True for block slots whose RAW ŝw estimate is so far
+    outside the stored Sw that the block's content must have been
+    destroyed (crop/blank/replace), not merely degraded.
+
+    A destroyed block's (s_cw − sc)/α is the spectrum delta of unrelated
+    content divided by a small α — orders of magnitude beyond any embedded
+    value — while JPEG/noise perturbations stay within a fraction of the
+    watermark's own scale. The deviation is normalized by the GLOBAL mean
+    top singular value of the watermark (per-block sw[n, 0] can be
+    legitimately tiny for dark watermark regions, which would false-flag
+    intact blocks). Threshold 2.0: measured JPEG-q50 deviations sit near
+    0.1–0.3 of that scale, destroyed blocks at 10–1000x."""
+    if sw is None:
+        return None
+    ref = jnp.broadcast_to(sw, raw.shape)[..., :k]
+    scale = jnp.mean(ref[..., 0], axis=-1, keepdims=True)[..., None] + 1e-6
+    dev = jnp.max(jnp.abs(raw[..., :k] - ref), axis=-1)
+    return dev > 2.0 * scale[..., 0]
+
+
+def _masked_normalize(wy: jax.Array, bad_nat: Optional[jax.Array],
+                      hp: int, wp: int, h: int, w: int,
+                      normalize: bool) -> jax.Array:
+    """Normalization tail with erasure handling (VERDICT r2 #4): pixels of
+    destroyed blocks are excluded from the min–max window and repainted as
+    the neutral mid-gray of the surviving range, so localized damage can
+    no longer crush the intact blocks' contrast. ``bad_nat`` is the
+    NATURAL-block-order erasure mask ([..., N]) or None (no sw known —
+    legacy behavior, plain min–max)."""
+    if bad_nat is None:
+        if not normalize:
+            return wy
         lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
         hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
-        wy = (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
-    return wy
+        return (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    mask8 = jnp.broadcast_to(bad_nat[..., None, None],
+                             (*bad_nat.shape, BLOCK, BLOCK))
+    mask = dct.unblockify(mask8.astype(jnp.float32), hp, wp)[..., :h, :w]
+    bad_pix = mask > 0.5
+    if not normalize:
+        return jnp.where(bad_pix, 0.0, wy)
+    lo = jnp.min(jnp.where(bad_pix, jnp.inf, wy), axis=(-2, -1),
+                 keepdims=True)
+    hi = jnp.max(jnp.where(bad_pix, -jnp.inf, wy), axis=(-2, -1),
+                 keepdims=True)
+    # every block flagged (pathological) -> fall back to the plain window
+    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+    lo = jnp.where(ok, lo, jnp.min(wy, axis=(-2, -1), keepdims=True))
+    hi = jnp.where(ok, hi, jnp.max(wy, axis=(-2, -1), keepdims=True))
+    wy = jnp.where(bad_pix, (lo + hi) * 0.5, wy)
+    return (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
 
 
 def _clamp_sw_hat(sw_hat: jax.Array, sw: Optional[jax.Array]) -> jax.Array:
@@ -377,8 +430,9 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
     s_cw = _plane_spectrum(planes, sweeps)
-    sw_hat = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    sw_hat = _clamp_sw_hat(sw_hat, sw)
+    raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
+    bad = _erasure_mask(raw, sw, k)
+    sw_hat = _clamp_sw_hat(raw, sw)
     sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
     # The contraction runs with the block's 64 pixels FLATTENED on the
     # minor axis: with 8-sized minor dims XLA hands the dot output a
@@ -391,11 +445,8 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
     blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
     wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
-    if normalize:
-        lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
-        hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
-        wy = (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
-    return wy
+    bad_nat = None if bad is None else jnp.take(bad, inv_blk, axis=-1)
+    return _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
 
 
 @functools.partial(jax.jit,

@@ -99,12 +99,32 @@ def _sum_rows(v):
 # this tile size — the third hardware A/B (after the Gram spectrum and
 # tournament ILP) to show op-count reasoning does not predict Mosaic
 # performance; only measurement does.
-def _jacobi_cols(g, sweeps, compute_uv):
+def _jacobi_cols(g, sweeps, compute_uv, bf16=False):
     """One-sided Jacobi on column lists of [..., 8, W] values; returns
     (u, s, v) or s, sorted descending (same math as
     svd_pallas._make_kernel). Scalars (dots, singular values) are
-    [..., W]; the leading dims batch extra block rows per grid cell."""
+    [..., W]; the leading dims batch extra block rows per grid cell.
+
+    ``bf16``: store the persistent sweep-loop columns in bfloat16 and
+    widen to f32 at each use — halves the register bytes of the ~300-value
+    live set that makes the unrolled body spill (VERDICT r2 #1b). Initial
+    pixel columns are u8-valued, hence bf16-exact; each rotation output
+    rounds to bf16 (~0.4% relative), and rotations are orthogonal so the
+    error does not grow across sweeps.
+
+    MEASURED VERDICT (v5e, 2026-08-17, tools/exp_bf16.py, 96 1080p planes,
+    sweeps=3): bf16 storage is NOT a win — spectrum 42.2 ms (rows=3) /
+    47.5 ms (rows=9) vs 38.6 ms f32; embed 51.1 vs 50.7 ms. The
+    extend/truncate pairs Mosaic inserts at each use cost more vector
+    issue slots than the halved spill traffic saves — the fourth A/B
+    (after Gram, fast-scaled Givens, tournament ILP) where op-count /
+    register-pressure reasoning failed to predict Mosaic performance.
+    The knob stays for reproducibility; f32 remains the default."""
     shape = g[0].shape                               # [..., 8, W]
+    down = ((lambda x: x.astype(jnp.bfloat16)) if bf16
+            else (lambda x: x))
+    up = ((lambda x: x.astype(jnp.float32)) if bf16
+          else (lambda x: x))
     if compute_uv:
         v = []
         for i in range(B):
@@ -120,6 +140,7 @@ def _jacobi_cols(g, sweeps, compute_uv):
     # vector-op issue, not op mix) but strictly less work; final singular
     # values still come from fresh norms.
     norms = [_sum_rows(g[i] * g[i]) for i in range(B)]
+    g = [down(c) for c in g]
 
     def sweep(_, carry):
         if compute_uv:
@@ -128,31 +149,32 @@ def _jacobi_cols(g, sweeps, compute_uv):
         else:
             (g, norms), v = (list(carry[0]), list(carry[1])), None
         for p, q in PAIRS:
-            gp, gq = g[p], g[q]
+            gp, gq = up(g[p]), up(g[q])
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
             c, s, t, _ = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
-            g[p] = c * gp - s * gq
-            g[q] = s * gp + c * gq
+            g[p] = down(c * gp - s * gq)
+            g[q] = down(s * gp + c * gq)
             if v is not None:
-                vp, vq = v[p], v[q]
-                v[p] = c * vp - s * vq
-                v[q] = s * vp + c * vq
+                vp, vq = up(v[p]), up(v[q])
+                v[p] = down(c * vp - s * vq)
+                v[q] = down(s * vp + c * vq)
         if compute_uv:
             return tuple(g), tuple(norms), tuple(v)
         return tuple(g), tuple(norms)
 
     if compute_uv:
+        v = [down(c) for c in v]
         g, _, v = jax.lax.fori_loop(
             0, sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
-        g, v = list(g), list(v)
+        g, v = [up(c) for c in g], [up(c) for c in v]
     else:
         g, _ = jax.lax.fori_loop(0, sweeps, sweep,
                                  (tuple(g), tuple(norms)))
-        g = list(g)
+        g = [up(c) for c in g]
 
     s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
 
@@ -208,7 +230,7 @@ def _make_embed_kernel(sweeps: int):
 
 
 def _make_embed_kernel_delta(sweeps: int, k: int,
-                             out_u8: bool = False):
+                             out_u8: bool = False, bf16: bool = False):
     """V-free embed: the round-1 kernel accumulated V through every one of
     the 140 sweep rotations (~840 full-width vector ops — a third of the
     kernel's VMEM traffic, which is what bounds it). This variant never
@@ -237,7 +259,7 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
     def kernel(x_ref, sws_ref, out_ref, sc_ref):
         x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]       # pixel columns = G0
-        u, s = _jacobi_cols_u(xc, sweeps)
+        u, s = _jacobi_cols_u(xc, sweeps, bf16=bf16)
 
         sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
         eps2 = (s[0] * 1e-5) ** 2 + 1e-30            # relative floor
@@ -255,37 +277,46 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
             # clip+truncate in VMEM: the marked plane leaves the kernel as
             # the final stego bytes (1/4 the HBM write + a 4x cheaper
             # out-transpose; numerics identical to the XLA
-            # clip(..).astype(uint8) epilogue)
-            y = jnp.clip(y, 0.0, 255.0).astype(jnp.uint8)
+            # clip(..).astype(uint8) epilogue). The i32 hop exists because
+            # Mosaic's direct f32->u8 convert is unimplemented on this
+            # toolchain (NotImplementedError, measured 2026-08-17); both
+            # routes truncate toward zero and the clip bounds the range,
+            # so the result is bit-identical.
+            y = jnp.clip(y, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
         out_ref[0] = y
         sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
 
     return kernel
 
 
-def _jacobi_cols_u(g0, sweeps):
+def _jacobi_cols_u(g0, sweeps, bf16=False):
     """One-sided Jacobi returning only (sorted U columns, sorted S) —
     same rotations as _jacobi_cols but with no V carried through the
-    sweeps, which removes ~1/3 of the kernel's full-width traffic."""
-    g = list(g0)
-    norms = [_sum_rows(g[i] * g[i]) for i in range(B)]
+    sweeps, which removes ~1/3 of the kernel's full-width traffic.
+    ``bf16`` stores the sweep columns in bfloat16 (see _jacobi_cols)."""
+    down = ((lambda x: x.astype(jnp.bfloat16)) if bf16
+            else (lambda x: x))
+    up = ((lambda x: x.astype(jnp.float32)) if bf16
+          else (lambda x: x))
+    norms = [_sum_rows(c * c) for c in g0]
+    g = [down(c) for c in g0]
 
     def sweep(_, carry):
         g, norms = list(carry[0]), list(carry[1])
         for p, q in PAIRS:
-            gp, gq = g[p], g[q]
+            gp, gq = up(g[p]), up(g[q])
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
             c, s, t, _ = _rotation(app, aqq, apq)
             norms[p] = app - t * apq
             norms[q] = aqq + t * apq
             c, s = c[..., None, :], s[..., None, :]
-            g[p] = c * gp - s * gq
-            g[q] = s * gp + c * gq
+            g[p] = down(c * gp - s * gq)
+            g[q] = down(s * gp + c * gq)
         return tuple(g), tuple(norms)
 
     g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
-    g = list(g)
+    g = [up(c) for c in g]
     s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
     u = [g[i] / jnp.maximum(s[i], 1e-30)[..., None, :] for i in range(B)]
     for i, j in _SORT_NET:
@@ -300,7 +331,7 @@ def _jacobi_cols_u(g0, sweeps):
     return u, s
 
 
-def _make_spectrum_kernel(sweeps: int):
+def _make_spectrum_kernel(sweeps: int, bf16: bool = False):
     # Values-only one-sided Jacobi. (A two-sided Jacobi on the Gram matrix
     # A=GᵀG — fewer ops, no reductions — was prototyped and measured
     # SLOWER on v5e (36.5 vs 32 ms for 777k blocks): the kernel is bound by
@@ -311,7 +342,7 @@ def _make_spectrum_kernel(sweeps: int):
     def kernel(x_ref, s_ref):
         x = x_ref[0]
         xc = [x[:, :, c, :] for c in range(B)]
-        s = _jacobi_cols(xc, sweeps, compute_uv=False)
+        s = _jacobi_cols(xc, sweeps, compute_uv=False, bf16=bf16)
         s_ref[0] = jnp.stack(s, axis=1)              # [R, 8, Wb]
 
     return kernel
@@ -446,13 +477,14 @@ def _rows_per_cell(hb: int, wb: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
-                                              "k", "variant", "out_u8"))
+                                              "k", "variant", "out_u8",
+                                              "bf16"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
                        sweeps: int = _SWEEPS_DEFAULT,
                        rows: int | None = None,
                        interpret: bool = False,
                        k: int = B, variant: str = "delta",
-                       out_u8: bool = False):
+                       out_u8: bool = False, bf16: bool = False):
     """Fused blocked embed over f32 planes.
 
     planes:     [..., H, W] f32 (leading dims = batch/channels, flattened to
@@ -478,7 +510,7 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     grid = (p, hb // r)
     if out_u8 and variant != "delta":
         raise ValueError("out_u8 requires the delta variant")
-    kernel = (_make_embed_kernel_delta(sweeps, k, out_u8)
+    kernel = (_make_embed_kernel_delta(sweeps, k, out_u8, bf16)
               if variant == "delta" else _make_embed_kernel(sweeps))
     out_dtype = jnp.uint8 if out_u8 else jnp.float32
     out_shape = (
@@ -509,12 +541,13 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
-                                              "method"))
+                                              "method", "bf16"))
 def spectrum_plane_blocks(planes: jax.Array,
                           sweeps: int = _SWEEPS_DEFAULT,
                           rows: int | None = None,
                           interpret: bool = False,
-                          method: str = "onesided") -> jax.Array:
+                          method: str = "onesided",
+                          bf16: bool = False) -> jax.Array:
     """Fused values-only per-block spectrum: [..., H, W] f32 -> [..., N, 8].
 
     method='onesided' (default): the column-rotation form sharing
@@ -532,7 +565,7 @@ def spectrum_plane_blocks(planes: jax.Array,
         kernel = _make_spectrum_gram_kernel(sweeps)
     else:
         r = rows or _rows_per_cell(hb, wb)
-        kernel = _make_spectrum_kernel(sweeps)
+        kernel = _make_spectrum_kernel(sweeps, bf16)
     grid = (p, hb // r)
     s = pl.pallas_call(
         kernel, grid=grid,

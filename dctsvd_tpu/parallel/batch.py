@@ -66,12 +66,17 @@ def _sharded_jit(body, mesh: Mesh, n_batch_args: int, n_args: int,
 
 
 def batch_detect_blocked(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
-                         alpha, mesh: Optional[Mesh] = None) -> jax.Array:
-    """Scores for [B, H, W, 3] stego batch against one blocked meta.
-    B must divide by the mesh's batch axis size."""
+                         alpha, mesh: Optional[Mesh] = None,
+                         per_frame_sc: bool = False) -> jax.Array:
+    """Scores for [B, H, W, 3] stego batch. B must divide by the mesh's
+    batch axis size. Default: one replicated meta scored against many
+    images (BASELINE config 3). ``per_frame_sc=True``: ``sc`` is the
+    [B, N, 8] per-frame cover spectra from a sharded embed and shards
+    with its frames (video-chunk serving)."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    fn = _sharded_jit(_detect_blocked_body, mesh, 1, 4)
+    fn = _sharded_jit(_detect_blocked_body, mesh, 2 if per_frame_sc else 1,
+                      4)
     return fn(stegos, sc, sw, jnp.float32(alpha))
 
 

@@ -398,3 +398,41 @@ def test_video_meta_sweeps_roundtrip(tmp_path):
     # 0 = converged/XLA embed -> replay at the kernel-default schedule
     from dctsvd_tpu.ops import wm_pallas
     assert m_blocked.replay_sweeps(0) == wm_pallas._SWEEPS_DEFAULT
+
+
+def test_async_encoder_order_and_errors(tmp_path):
+    """AsyncEncoder preserves FIFO write/roll order (segment boundaries
+    byte-identical to the synchronous writer) and surfaces encoder-thread
+    failures on the caller's side."""
+    base = str(tmp_path / "ae.mp4")
+    w = video_io.SegmentedVideoWriter(base, 10, 32, 16)
+    enc = video_io.AsyncEncoder(w)
+    frame = np.zeros((16, 32, 3), np.uint8)
+    for i in range(5):
+        enc.write(frame + i * 10)
+    assert enc.sync_roll() == 5            # all queued frames drained first
+    for _ in range(3):
+        enc.write(frame)
+    enc.close()
+    w.close()
+    segs = video_io.SegmentedVideoWriter.existing_segments(base)
+    assert len(segs) == 2
+    with video_io.VideoReader(segs[0]) as r:
+        assert sum(1 for _ in r) == 5
+    with video_io.VideoReader(segs[1]) as r:
+        assert sum(1 for _ in r) == 3
+
+    class Boom:
+        def write(self, f):
+            raise IOError("disk full")
+
+        def roll(self):
+            return 0
+
+    enc = video_io.AsyncEncoder(Boom())
+    enc.write(frame)
+    with pytest.raises(IOError, match="disk full"):
+        for _ in range(100):               # surfaces on a subsequent call
+            enc.write(frame)
+    with pytest.raises(IOError):
+        enc.close()

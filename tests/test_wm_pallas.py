@@ -197,3 +197,25 @@ def test_embed_out_u8(data):
     np.testing.assert_array_equal(
         np.asarray(m_u),
         np.asarray(jnp.clip(m_f, 0, 255).astype(jnp.uint8)))
+
+
+def test_bf16_storage_close_to_f32(data):
+    """bf16 sweep-column storage (the register-pressure variant,
+    VERDICT r2 #1b): spectra agree with f32 storage to bf16 rounding
+    (~0.4% relative), and the embed's marked plane stays within ~1 gray
+    level. The end-to-end quality gate for defaulting it is the 4K
+    robustness bench on hardware; this pins the numeric contract."""
+    planes, sws, h, w, n = data
+    s0 = wm_pallas.spectrum_plane_blocks(planes, interpret=True)
+    s1 = wm_pallas.spectrum_plane_blocks(planes, interpret=True, bf16=True)
+    smax = float(np.asarray(s0).max())
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=0, atol=0.01 * smax)
+
+    m0, sc0 = wm_pallas.embed_plane_blocks(planes, sws, k=4,
+                                           interpret=True)
+    m1, sc1 = wm_pallas.embed_plane_blocks(planes, sws, k=4,
+                                           interpret=True, bf16=True)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0),
+                               rtol=0, atol=0.01 * smax)
+    assert float(jnp.max(jnp.abs(m1 - m0))) < 2.0
