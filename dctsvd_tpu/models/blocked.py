@@ -279,9 +279,18 @@ def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
                          alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                          with_metrics: bool = True):
     """Cover-side blocked per-channel embed against a prepared watermark."""
-    chans = jnp.moveaxis(cover_bgr_u8.astype(jnp.float32), -1, -3)
-    marked, sc = _embed_planes(chans, sw, alpha, kfrac)
-    stego = jnp.moveaxis(jnp.clip(marked, 0, 255), -3, -1).astype(jnp.uint8)
+    # u8 end-to-end on the fused path: the view transpose rides u8 (1/4
+    # the HBM traffic, widen happens in VMEM — wm_pallas._widen) and the
+    # kernel clips+casts the marked plane in VMEM (out_u8), so no f32
+    # frame-sized tensor ever hits HBM. The XLA fallback still returns
+    # float and takes the clip+cast epilogue.
+    chans = jnp.moveaxis(cover_bgr_u8, -1, -3)
+    marked, sc = _embed_planes(chans, sw, alpha, kfrac, out_u8=True)
+    if marked.dtype == jnp.uint8:
+        stego = jnp.moveaxis(marked, -3, -1)
+    else:
+        stego = jnp.moveaxis(jnp.clip(marked, 0, 255),
+                             -3, -1).astype(jnp.uint8)
 
     if with_metrics:
         ps = metrics.psnr(cover_bgr_u8, stego)

@@ -116,8 +116,10 @@ def _embed_frame_gray_blocked(gray: jax.Array, sw: jax.Array,
                               kfrac: float = K_FRAC_DEFAULT):
     """[..., H, W] gray frame(s) through the fused blocked embed.
     Returns (marked_u8, per-block original S [..., N, 8]). u8-in."""
-    marked, s = m_blocked._embed_planes(gray.astype(jnp.float32), sw,
-                                        alpha, kfrac)
+    marked, s = m_blocked._embed_planes(gray, sw, alpha, kfrac,
+                                        out_u8=True)
+    if marked.dtype == jnp.uint8:
+        return marked, s
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
@@ -127,8 +129,10 @@ def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
                                kfrac: float = K_FRAC_DEFAULT):
     """[..., 3, H, W] channel-first color frame(s); the same grayscale
     watermark block-SVs spread into every channel. u8-in."""
-    marked, s = m_blocked._embed_planes(bgr.astype(jnp.float32), sw,
-                                        alpha, kfrac)
+    marked, s = m_blocked._embed_planes(bgr, sw, alpha, kfrac,
+                                        out_u8=True)
+    if marked.dtype == jnp.uint8:
+        return marked, s
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
@@ -143,7 +147,7 @@ def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
     block bases, inverse block-DCT. u8-in. ``sw`` clamps outliers from
     destroyed blocks (m_blocked._clamp_sw_hat); ``sweeps`` replays the
     embed-time Jacobi schedule from the meta."""
-    s_now = m_blocked._plane_spectrum(planes.astype(jnp.float32), sweeps)
+    s_now = m_blocked._plane_spectrum(planes, sweeps)
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
     sw_hat = m_blocked._clamp_sw_hat((s_now - s_orig) / alpha, sw)

@@ -90,6 +90,16 @@ def _sum_rows(v):
     return t[..., 0, :]
 
 
+def _widen(x):
+    """u8 kernel window -> f32. The view transpose feeding the kernels now
+    stays u8 (1/4 the HBM traffic — see _plane_cols_view); the widen
+    happens here in VMEM. The i32 hop mirrors the u8 store path: Mosaic's
+    direct u8<->f32 converts are unimplemented on this toolchain."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
 # A fast-scaled (Hammarling) variant — columns carried as f·g̃ so each
 # rotation updates with 4 full-width ops instead of 6, f/1/f as per-block
 # scalars — was implemented and measured on v5e: spectrum 91.5 ms vs the
@@ -208,7 +218,7 @@ def _make_embed_kernel(sweeps: int):
     module docstring). Kept for A/B comparison with the delta variant."""
 
     def kernel(x_ref, sws_ref, out_ref, sc_ref):
-        x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
+        x = _widen(x_ref[0])                         # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]       # R×[?]: [R, 8, Wb]
         u, s, v = _jacobi_cols(xc, sweeps, compute_uv=True)
 
@@ -257,21 +267,31 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
     """
 
     def kernel(x_ref, sws_ref, out_ref, sc_ref):
-        x = x_ref[0]                                 # [R, 8(row), 8(col), Wb]
+        x = _widen(x_ref[0])                         # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]       # pixel columns = G0
-        u, s = _jacobi_cols_u(xc, sweeps, bf16=bf16)
+        g, s = _jacobi_cols_g(xc, sweeps, bf16=bf16)
 
+        # Paint with the RAW rotated columns g_j = s_j·u_j and fold the
+        # missing 1/s_j into the coefficient (two extra scalar rsqrts per
+        # component instead of 8 full-width divides building U):
+        #   Δ_j = sws_j · (g_j/‖g_j‖) · (Xᵀg_j)ᵀ/‖Xᵀg_j‖
+        # identical math to the u-column form — ‖g_j‖² is the cached s_j².
         sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
-        eps2 = (s[0] * 1e-5) ** 2 + 1e-30            # relative floor
+        s0sq = s[0] * s[0]
         ycols = list(xc)
         for j in range(k):
-            vj = [_sum_rows(xc[c] * u[j]) for c in range(B)]  # (Xᵀu_j)[c]
+            nj = s[j] * s[j]                         # ‖g_j‖²
+            vj = [_sum_rows(xc[c] * g[j]) for c in range(B)]  # (Xᵀg_j)[c]
             nrm2 = vj[0] * vj[0]
             for c in range(1, B):
                 nrm2 = nrm2 + vj[c] * vj[c]
-            coef = sws[:, j, :] * jax.lax.rsqrt(nrm2 + eps2)
+            # nrm2 = s_j²·‖Xᵀu_j‖²; the u-form's relative floor
+            # eps2 = (s_max·1e-5)² scales by s_j² alongside it
+            coef = (sws[:, j, :]
+                    * jax.lax.rsqrt(nrm2 + s0sq * nj * 1e-10 + 1e-30)
+                    * jax.lax.rsqrt(nj + 1e-30))
             for c in range(B):
-                ycols[c] = ycols[c] + u[j] * (coef * vj[c])[..., None, :]
+                ycols[c] = ycols[c] + g[j] * (coef * vj[c])[..., None, :]
         y = jnp.stack(ycols, axis=2)                 # [R, 8, 8, Wb]
         if out_u8:
             # clip+truncate in VMEM: the marked plane leaves the kernel as
@@ -289,10 +309,12 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
     return kernel
 
 
-def _jacobi_cols_u(g0, sweeps, bf16=False):
-    """One-sided Jacobi returning only (sorted U columns, sorted S) —
-    same rotations as _jacobi_cols but with no V carried through the
-    sweeps, which removes ~1/3 of the kernel's full-width traffic.
+def _jacobi_cols_g(g0, sweeps, bf16=False):
+    """One-sided Jacobi returning (sorted RAW columns g_j = s_j·u_j,
+    sorted S) — same rotations as _jacobi_cols but with no V carried
+    through the sweeps (removes ~1/3 of the kernel's full-width traffic)
+    and no U normalization (the delta kernel folds 1/s_j into its paint
+    coefficient, deleting 8 full-width divides).
     ``bf16`` stores the sweep columns in bfloat16 (see _jacobi_cols)."""
     down = ((lambda x: x.astype(jnp.bfloat16)) if bf16
             else (lambda x: x))
@@ -318,17 +340,16 @@ def _jacobi_cols_u(g0, sweeps, bf16=False):
     g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
     g = [up(c) for c in g]
     s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
-    u = [g[i] / jnp.maximum(s[i], 1e-30)[..., None, :] for i in range(B)]
     for i, j in _SORT_NET:
         swap = s[i] < s[j]
         si, sj = s[i], s[j]
         s[i] = jnp.where(swap, sj, si)
         s[j] = jnp.where(swap, si, sj)
         sw2 = swap[..., None, :]
-        ui, uj = u[i], u[j]
-        u[i] = jnp.where(sw2, uj, ui)
-        u[j] = jnp.where(sw2, ui, uj)
-    return u, s
+        gi, gj = g[i], g[j]
+        g[i] = jnp.where(sw2, gj, gi)
+        g[j] = jnp.where(sw2, gi, gj)
+    return g, s
 
 
 def _make_spectrum_kernel(sweeps: int, bf16: bool = False):
@@ -340,7 +361,7 @@ def _make_spectrum_kernel(sweeps: int, bf16: bool = False):
     # Runs on pixel columns directly — S(D·X·Dᵀ) = S(X), module docstring.
 
     def kernel(x_ref, s_ref):
-        x = x_ref[0]
+        x = _widen(x_ref[0])
         xc = [x[:, :, c, :] for c in range(B)]
         s = _jacobi_cols(xc, sweeps, compute_uv=False, bf16=bf16)
         s_ref[0] = jnp.stack(s, axis=1)              # [R, 8, Wb]
@@ -372,7 +393,7 @@ def _make_spectrum_gram_kernel(sweeps: int):
     """
 
     def kernel(x_ref, s_ref):
-        x = x_ref[0]                                 # [R, 8, 8, Wb]
+        x = _widen(x_ref[0])                         # [R, 8, 8, Wb]
         xc = [x[:, :, c, :] for c in range(B)]
         keys = [(i, j) for i in range(B) for j in range(i, B)]
         a = {(i, j): _sum_rows(xc[i] * xc[j]) for (i, j) in keys}
@@ -447,10 +468,13 @@ def _plane_cols_view(planes: jax.Array):
         p *= dim
     hb, wb = h // B, w // B
     view = jnp.transpose(planes.reshape(p * hb * B, wb, B), (0, 2, 1))
-    # u8 planes ride the transpose and widen in its epilogue — measured
-    # the same cost as a bare f32 transpose, so u8 callers skip a whole
-    # standalone cast pass
-    view = view.astype(jnp.float32)
+    # u8 planes STAY u8 through the transpose and widen inside the kernel
+    # (_widen): the round-2 form widened in the transpose epilogue
+    # (f32 writes, 796 MB per 96-plane pass); keeping the view u8 writes
+    # 199 MB and measured 12.2 -> 3.8 ms on v5e (tools/exp_u8view.py).
+    # f32 callers (gray luma) pass through unchanged.
+    if view.dtype != jnp.uint8:
+        view = view.astype(jnp.float32)
     return view.reshape(p, hb, B, B, wb), tuple(lead), hb, wb
 
 
