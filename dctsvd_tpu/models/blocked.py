@@ -69,6 +69,18 @@ def _pad_to_blocks(x: jax.Array, b: int = BLOCK) -> Tuple[jax.Array, int, int]:
     return x, h + ph, w + pw
 
 
+def _pad_frames_to_blocks(x: jax.Array,
+                          b: int = BLOCK) -> Tuple[jax.Array, int, int]:
+    """Channels-last analog of _pad_to_blocks: pads H, W at axes -3/-2."""
+    h, w = x.shape[-3], x.shape[-2]
+    ph = (-h) % b
+    pw = (-w) % b
+    if ph or pw:
+        cfg = ([(0, 0)] * (x.ndim - 3) + [(0, ph), (0, pw), (0, 0)])
+        x = jnp.pad(x, cfg, mode="reflect")
+    return x, h + ph, w + pw
+
+
 # Fused-kernel sweep count for the serving path. End-to-end quality (stego
 # PSNR, extraction NC, detect score, JPEG-q50/noise/crop robustness) was
 # measured IDENTICAL to 4 decimal places at sweeps 3/4/5 on 1080p hardware
@@ -166,6 +178,47 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
                     precision=jax.lax.Precision.HIGHEST)
     marked = dct.idct2_blocks_to_plane(cw, hp, wp)[..., :h, :w]
     return marked, sc
+
+
+def _embed_frames(frames_bhwc: jax.Array, sw: jax.Array, alpha: jax.Array,
+                  kfrac: float):
+    """Channels-LAST serving embed: [..., H, W, C] u8/float frames in,
+    (u8 stego in the same layout, sc [..., C, N, 8]) out. On the fused
+    path the channel moveaxis rides the rank-6 view transpose (measured
+    6.0 -> 4.6 ms in / 6.0 -> 2.5 ms out per 96-plane 1080p pass) and the
+    kernel emits u8 directly; the XLA fallback takes the moveaxis route."""
+    h, w = frames_bhwc.shape[-3], frames_bhwc.shape[-2]
+    if _use_fused():
+        from dctsvd_tpu.ops import wm_pallas
+        k = k_of_block(kfrac)
+        mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
+        sws = (alpha * mask * sw).astype(jnp.float32)
+        if sws.ndim == 2:
+            sws = sws[None]
+        elif sws.ndim > 3:
+            sws = sws.reshape(-1, *sws.shape[-2:])
+        padded, _, _ = _pad_frames_to_blocks(frames_bhwc)
+        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
+            padded, sws, k=k, sweeps=_FUSED_SWEEPS, out_u8=True,
+            channels_last=True)
+        return marked[..., :h, :w, :], sc
+    chans = jnp.moveaxis(frames_bhwc, -1, -3)
+    marked, sc = _embed_planes(chans, sw, alpha, kfrac)
+    stego = jnp.clip(marked, 0, 255).astype(jnp.uint8)
+    return jnp.moveaxis(stego, -3, -1), sc
+
+
+def _frames_spectrum(frames_bhwc: jax.Array,
+                     sweeps: Optional[int] = None) -> jax.Array:
+    """Channels-LAST per-block spectrum: [..., H, W, C] -> [..., C, N, 8]
+    (fused path skips the moveaxis; see _frames_cols_view)."""
+    if _use_fused():
+        from dctsvd_tpu.ops import wm_pallas
+        padded, _, _ = _pad_frames_to_blocks(frames_bhwc)
+        return wm_pallas.spectrum_plane_blocks.__wrapped__(
+            padded, sweeps=_FUSED_SWEEPS if sweeps is None else sweeps,
+            channels_last=True)
+    return _plane_spectrum(jnp.moveaxis(frames_bhwc, -1, -3), sweeps)
 
 
 class BlockedEmbedResult(NamedTuple):
@@ -279,18 +332,12 @@ def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
                          alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                          with_metrics: bool = True):
     """Cover-side blocked per-channel embed against a prepared watermark."""
-    # u8 end-to-end on the fused path: the view transpose rides u8 (1/4
-    # the HBM traffic, widen happens in VMEM — wm_pallas._widen) and the
-    # kernel clips+casts the marked plane in VMEM (out_u8), so no f32
-    # frame-sized tensor ever hits HBM. The XLA fallback still returns
-    # float and takes the clip+cast epilogue.
-    chans = jnp.moveaxis(cover_bgr_u8, -1, -3)
-    marked, sc = _embed_planes(chans, sw, alpha, kfrac, out_u8=True)
-    if marked.dtype == jnp.uint8:
-        stego = jnp.moveaxis(marked, -3, -1)
-    else:
-        stego = jnp.moveaxis(jnp.clip(marked, 0, 255),
-                             -3, -1).astype(jnp.uint8)
+    # u8 + channels-last end-to-end on the fused path: the view transpose
+    # rides u8 (1/4 the HBM traffic, widen happens in VMEM), the channel
+    # moveaxis rides the rank-6 view transpose, and the kernel clips+casts
+    # the marked plane in VMEM (out_u8) — no frame-sized f32 tensor and no
+    # standalone moveaxis pass ever hit HBM.
+    stego, sc = _embed_frames(cover_bgr_u8, sw, alpha, kfrac)
 
     if with_metrics:
         ps = metrics.psnr(cover_bgr_u8, stego)
@@ -436,9 +483,20 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
                              sweeps: Optional[int] = None) -> jax.Array:
     """Serving-path extract tail: spectrum -> ŝw gather -> k-term
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
+    s_cw = _plane_spectrum(planes, sweeps)
+    return _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
+                                  normalize, h, w, sw=sw)
+
+
+def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
+                           ebasis: jax.Array, inv_blk: jax.Array,
+                           alpha: jax.Array, kfrac: float,
+                           normalize: bool, h: int, w: int,
+                           sw: Optional[jax.Array] = None) -> jax.Array:
+    """Extract tail from an already-computed stego spectrum s_cw
+    [..., N, 8] (lets channels-last callers feed _frames_spectrum)."""
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
-    s_cw = _plane_spectrum(planes, sweeps)
     raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     bad = _erasure_mask(raw, sw, k)
     sw_hat = _clamp_sw_hat(raw, sw)
@@ -486,9 +544,10 @@ def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            sw: Optional[jax.Array] = None,
                            sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
-    wm = _extract_planes_prepared(chans, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw, sweeps=sweeps)
+    # stego spectrum straight off the channels-last frames (no moveaxis)
+    s_cw = _frames_spectrum(stego_bgr_u8, sweeps)
+    wm = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
+                                normalize, h, w, sw=sw)
     return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
 
 
@@ -576,8 +635,7 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
                  sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     k = k_of_block(kfrac)
-    chans = jnp.moveaxis(stego_bgr_u8, -1, -3)      # u8: 1/4 the bytes
-    s_cw = _plane_spectrum(chans, sweeps)
+    s_cw = _frames_spectrum(stego_bgr_u8, sweeps)   # no moveaxis pass
     sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
     return jnp.mean(scores, axis=-1)

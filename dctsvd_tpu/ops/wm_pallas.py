@@ -486,6 +486,38 @@ def _cols_to_plane(view5: jax.Array, lead, hb: int, wb: int) -> jax.Array:
     return flat.reshape(*lead, hb * B, wb * B)
 
 
+def _frames_cols_view(frames: jax.Array):
+    """Channels-LAST frames [..., H, W, C] -> [P=prod(lead)·C, Hb, 8, 8,
+    Wb] in ONE rank-6 XLA transpose. Folds the channel moveaxis into the
+    block view: measured 6.0 -> 4.6 ms per 96-plane 1080p u8 pass on v5e
+    (inverse 6.0 -> 2.5 — tools/exp_fuseview.py). Plane order matches
+    moveaxis(frames, -1, -3) flattening (channel fastest-varying), so the
+    sws `plane % C` indexing and sc layout are unchanged."""
+    *lead, h, w, ch = frames.shape
+    if h % B or w % B:
+        raise ValueError("frame dims must be multiples of 8 (pad first)")
+    p = 1
+    for dim in lead:
+        p *= dim
+    hb, wb = h // B, w // B
+    x = frames.reshape(p, hb, B, wb, B, ch)
+    v = jnp.transpose(x, (0, 5, 1, 2, 4, 3))
+    if v.dtype != jnp.uint8:
+        v = v.astype(jnp.float32)
+    return v.reshape(p * ch, hb, B, B, wb), tuple(lead) + (ch,), hb, wb
+
+
+def _cols_to_frames(view5: jax.Array, lead, hb: int, wb: int) -> jax.Array:
+    """Inverse of _frames_cols_view: [P, Hb, 8, 8, Wb] -> [..., H, W, C]."""
+    *bt, ch = lead
+    p = 1
+    for dim in bt:
+        p *= dim
+    x = view5.reshape(p, ch, hb, B, B, wb)
+    y = jnp.transpose(x, (0, 2, 3, 5, 4, 1))
+    return y.reshape(*bt, hb * B, wb * B, ch)
+
+
 def _rows_per_cell(hb: int, wb: int) -> int:
     """Block rows per grid cell. Counter to the issue-overhead intuition,
     SMALLER tiles win: an R·Wb sweep on v5e measured 38.4/39.0/43.6 ms
@@ -502,18 +534,21 @@ def _rows_per_cell(hb: int, wb: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
                                               "k", "variant", "out_u8",
-                                              "bf16"))
+                                              "bf16", "channels_last"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
                        sweeps: int = _SWEEPS_DEFAULT,
                        rows: int | None = None,
                        interpret: bool = False,
                        k: int = B, variant: str = "delta",
-                       out_u8: bool = False, bf16: bool = False):
-    """Fused blocked embed over f32 planes.
+                       out_u8: bool = False, bf16: bool = False,
+                       channels_last: bool = False):
+    """Fused blocked embed over f32/u8 planes.
 
-    planes:     [..., H, W] f32 (leading dims = batch/channels, flattened to
+    planes:     [..., H, W] (leading dims = batch/channels, flattened to
                 the grid; for color pass [B, 3, H, W] so channel is the
-                fastest-varying lead dim)
+                fastest-varying lead dim) — or, with ``channels_last``,
+                [..., H, W, C] frames as they come from decode/imread,
+                riding the fused rank-6 view transpose (no moveaxis pass).
     sws_scaled: [C, N, 8] pre-scaled watermark SVs (α·mask·Sw), C must
                 divide the flattened lead size and is indexed by plane % C
                 (C=1 gray, C=3 per-channel color).
@@ -522,9 +557,13 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
                 only computes those k rank-1 terms).
     variant:    'delta' (V-free, see _make_embed_kernel_delta) or 'recon'
                 (round-1 full U·S'·Vᵀ form, kept for A/B comparison).
-    Returns (marked [..., H, W] f32, sc [..., N, 8]).
+    Returns (marked like ``planes``' layout, sc [..., N, 8] with channel
+    before N in both layouts).
     """
-    view, lead, hb, wb = _plane_cols_view(planes)
+    if channels_last:
+        view, lead, hb, wb = _frames_cols_view(planes)
+    else:
+        view, lead, hb, wb = _plane_cols_view(planes)
     p = view.shape[0]
     c = sws_scaled.shape[0]
     sws_v = jnp.transpose(sws_scaled.reshape(c * hb, wb, B),
@@ -558,20 +597,25 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
         out_shape=out_shape, interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         )(view, sws_v)
-    marked = _cols_to_plane(marked_v, lead, hb, wb)
+    if channels_last:
+        marked = _cols_to_frames(marked_v, lead, hb, wb)
+    else:
+        marked = _cols_to_plane(marked_v, lead, hb, wb)
     sc_b = jnp.transpose(sc.reshape(-1, B, wb),
                          (0, 2, 1)).reshape(*lead, hb * wb, B)
     return marked, sc_b
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
-                                              "method", "bf16"))
+                                              "method", "bf16",
+                                              "channels_last"))
 def spectrum_plane_blocks(planes: jax.Array,
                           sweeps: int = _SWEEPS_DEFAULT,
                           rows: int | None = None,
                           interpret: bool = False,
                           method: str = "onesided",
-                          bf16: bool = False) -> jax.Array:
+                          bf16: bool = False,
+                          channels_last: bool = False) -> jax.Array:
     """Fused values-only per-block spectrum: [..., H, W] f32 -> [..., N, 8].
 
     method='onesided' (default): the column-rotation form sharing
@@ -581,8 +625,14 @@ def spectrum_plane_blocks(planes: jax.Array,
     23 ms per 24×1080p planes at sweeps=4, rows 27/45/135 all tried), the
     second hardware A/B to show the scalar-carried forms underperform
     their op count; kept as the documented alternative-formulation verdict.
+
+    ``channels_last``: planes is [..., H, W, C] (decode layout); result is
+    [..., C, N, 8] — the moveaxis rides the fused view transpose.
     """
-    view, lead, hb, wb = _plane_cols_view(planes)
+    if channels_last:
+        view, lead, hb, wb = _frames_cols_view(planes)
+    else:
+        view, lead, hb, wb = _plane_cols_view(planes)
     p = view.shape[0]
     if method == "gram":
         r = rows or _rows_per_cell_gram(hb, wb)

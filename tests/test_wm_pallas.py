@@ -219,3 +219,27 @@ def test_bf16_storage_close_to_f32(data):
     np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0),
                                rtol=0, atol=0.01 * smax)
     assert float(jnp.max(jnp.abs(m1 - m0))) < 2.0
+
+
+def test_channels_last_matches_plane_path(data):
+    """channels_last=True (decode-layout frames, fused rank-6 view) must
+    equal the channel-first plane path bit-for-bit: same kernel, same
+    plane order (channel fastest-varying), only the HBM layout differs."""
+    planes, sws, h, w, n = data
+    frames_u8 = jnp.clip(planes, 0, 255).astype(jnp.uint8)   # [B, 3, H, W]
+    frames_hwc = jnp.moveaxis(frames_u8, -3, -1)             # [B, H, W, 3]
+
+    m_p, sc_p = wm_pallas.embed_plane_blocks(frames_u8, sws, k=4,
+                                             out_u8=True, interpret=True)
+    m_f, sc_f = wm_pallas.embed_plane_blocks(frames_hwc, sws, k=4,
+                                             out_u8=True,
+                                             channels_last=True,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(jnp.moveaxis(m_f, -1, -3)),
+                                  np.asarray(m_p))
+    np.testing.assert_array_equal(np.asarray(sc_f), np.asarray(sc_p))
+
+    s_p = wm_pallas.spectrum_plane_blocks(frames_u8, interpret=True)
+    s_f = wm_pallas.spectrum_plane_blocks(frames_hwc, channels_last=True,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_p))
