@@ -136,18 +136,35 @@ def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
-@functools.partial(jax.jit, static_argnames=("kfrac", "h", "w", "sweeps"))
+@functools.partial(jax.jit, static_argnames=("kfrac",))
+def _embed_frames_color_blocked(frames: jax.Array, sw: jax.Array,
+                                alpha: jax.Array,
+                                kfrac: float = K_FRAC_DEFAULT):
+    """[..., H, W, 3] decode-layout u8 frames through the fused
+    channels-last embed: no host moveaxis, no device moveaxis pass —
+    the channel permute rides the rank-6 view transpose. Returns
+    (marked u8 [..., H, W, 3], per-block original S [..., 3, N, 8])."""
+    return m_blocked._embed_frames(frames, sw, alpha, kfrac)
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "h", "w", "sweeps",
+                                             "channels_last"))
 def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
                         uw: jax.Array, vwt: jax.Array, alpha: jax.Array,
                         kfrac: float, h: int, w: int,
                         sw: Optional[jax.Array] = None,
-                        sweeps: Optional[int] = None):
+                        sweeps: Optional[int] = None,
+                        channels_last: bool = False):
     """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
     to the k embedded components, rank-restored through the watermark's
     block bases, inverse block-DCT. u8-in. ``sw`` clamps outliers from
     destroyed blocks (m_blocked._clamp_sw_hat); ``sweeps`` replays the
-    embed-time Jacobi schedule from the meta."""
-    s_now = m_blocked._plane_spectrum(planes, sweeps)
+    embed-time Jacobi schedule from the meta. ``channels_last``: planes
+    is [..., H, W, C] decode-layout; the spectrum comes straight off it
+    and the recovered estimate still lands channel-first [..., C, H, W]
+    (the reconstruction is per-block, independent of the input layout)."""
+    s_now = (m_blocked._frames_spectrum(planes, sweeps) if channels_last
+             else m_blocked._plane_spectrum(planes, sweeps))
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
     sw_hat = m_blocked._clamp_sw_hat((s_now - s_orig) / alpha, sw)
@@ -275,18 +292,25 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         metaio.save_video_meta(meta_path, meta)
         return meta
 
+    # blocked color rides the channels-last path: frames stay [H, W, 3]
+    # u8 end-to-end (no per-frame host moveaxis copies, and the device
+    # channel permute is folded into the fused view transpose)
+    hwc = color and scheme == "blocked"
     if scheme == "blocked":
         def _embed_fn(planes):
-            fn = (_embed_frame_color_blocked if color
-                  else _embed_frame_gray_blocked)
-            return fn(planes, sw_d, alpha_d, kfrac=kfrac)
+            if color:
+                return _embed_frames_color_blocked(planes, sw_d, alpha_d,
+                                                   kfrac=kfrac)
+            return _embed_frame_gray_blocked(planes, sw_d, alpha_d,
+                                             kfrac=kfrac)
     else:
         def _embed_fn(planes):
             fn = _embed_frame_color if color else _embed_frame_gray
             return fn(planes, sw_d, alpha_d)
 
     def _dispatch_batch(planes: np.ndarray):
-        """planes: [K, H, W] gray or [K, 3, H, W] color f32. One device
+        """planes: [K, H, W] gray, [K, 3, H, W] color (full scheme), or
+        [K, H, W, 3] decode-layout u8 (blocked color). One device
         round trip for the whole chunk. Only TRANSIENT transport/device
         errors retry (remote-attachment hiccups, timeouts); programming
         errors (shape bugs, tracer leaks, OOM-by-construction) surface
@@ -344,7 +368,9 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
             writer.write(payload)
         else:
             m = results.pop(payload)
-            if color:
+            if hwc:
+                writer.write(m)           # already decode-layout u8
+            elif color:
                 writer.write(np.ascontiguousarray(np.moveaxis(m, 0, -1)))
             else:
                 writer.write(cv2.cvtColor(m, cv2.COLOR_GRAY2BGR))
@@ -428,7 +454,9 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                             # u8 planes: the device cast is free, the host
                             # link (tunnel-attached chips: ~20 MB/s) moves
                             # 1 byte/px
-                            if color:
+                            if hwc:
+                                plane = frame
+                            elif color:
                                 plane = np.moveaxis(frame, -1, 0)
                             else:
                                 plane = cv2.cvtColor(frame,
@@ -679,6 +707,7 @@ def extract_watermark_video(video_path: str, meta_path: str,
     sw_d = jnp.asarray(meta.sw)
     h, w = meta.watermark_shape[:2]
     blocked_scheme = meta.scheme == "blocked"
+    hwc_x = blocked_scheme and meta.is_color   # channels-last device path
 
     acc_d = None
     count = 0
@@ -698,7 +727,8 @@ def extract_watermark_video(video_path: str, meta_path: str,
                                       jnp.asarray(sorig), uw_d, vtw_d,
                                       alpha_d, meta.kfrac, h, w, sw=sw_d,
                                       sweeps=m_blocked.replay_sweeps(
-                                          meta.sweeps))
+                                          meta.sweeps),
+                                      channels_last=hwc_x)
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))
             est = _recover_wm(s_now, jnp.asarray(sorig), uw_d, vtw_d,
@@ -737,7 +767,9 @@ def extract_watermark_video(video_path: str, meta_path: str,
         if isinstance(item, BaseException):
             raise item
         i, frame = item
-        if meta.is_color:
+        if hwc_x:
+            planes_buf.append(frame)      # decode layout, no host copy
+        elif meta.is_color:
             planes_buf.append(np.moveaxis(frame, -1, 0))
         else:
             planes_buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))

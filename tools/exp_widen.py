@@ -1,0 +1,91 @@
+"""Round-3: what does the in-kernel u8 widen cost, and does a bf16 view
+beat it?
+
+The u8 view transpose is cheap (4.6 ms vs 12.2 for f32-widening) but the
+kernel then unpacks u8->i32->f32 in VMEM (sublane repacking). bf16 holds
+0..255 exactly (8 mantissa bits) and bf16->f32 is a native extend: the
+view transpose writes 2 bytes/px instead of 1 (u8) or 4 (f32), and the
+kernel-side widen should be far cheaper than the u8 unpack.
+
+Measures spectrum at sweeps=0 (pure fixed cost) and sweeps=2/3 for view
+dtypes u8 / bf16 / f32, end-to-end from u8 planes.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dctsvd_tpu.ops import wm_pallas
+from dctsvd_tpu.ops.wm_pallas import (B, _COMPILER_PARAMS,
+                                      _make_spectrum_kernel,
+                                      _rows_per_cell)
+
+
+def spectrum_dtype(planes, sweeps, view_dtype):
+    *lead, h, w = planes.shape
+    p = 1
+    for d in lead:
+        p *= d
+    hb, wb = h // B, w // B
+    view = jnp.transpose(planes.reshape(p * hb * B, wb, B), (0, 2, 1))
+    view = view.astype(view_dtype).reshape(p, hb, B, B, wb)
+    r = _rows_per_cell(hb, wb)
+    s = pl.pallas_call(
+        _make_spectrum_kernel(sweeps), grid=(p, hb // r),
+        in_specs=[pl.BlockSpec((1, r, B, B, wb),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, r, B, wb), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        )(view)
+    return jnp.transpose(s.reshape(-1, B, wb),
+                         (0, 2, 1)).reshape(*lead, hb * wb, B)
+
+
+def timed(name, fn, args, iters=8):
+    @jax.jit
+    def step(acc, *a):
+        out = fn(*a)
+        return acc + out.reshape(-1)[0].astype(jnp.float32)
+
+    acc = step(jnp.float32(0.0), *args)
+    float(acc)
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for _ in range(iters):
+        acc = step(acc, *args)
+    float(acc)
+    dt = (time.time() - t0) / iters * 1000
+    print(f"{name:45s} {dt:8.2f} ms/iter", flush=True)
+    return dt
+
+
+def main():
+    h, w, batch = 1080, 1920, 32
+    rng = np.random.default_rng(0)
+    chans = jnp.asarray(rng.integers(0, 256, (batch, 3, h, w), np.uint8))
+    jax.block_until_ready(chans)
+
+    small = chans[:1, :1, :24, :64]
+    a = spectrum_dtype(small, 3, jnp.uint8)
+    b = spectrum_dtype(small, 3, jnp.bfloat16)
+    c = spectrum_dtype(small, 3, jnp.float32)
+    print(f"bf16-view vs u8-view max err: "
+          f"{float(jnp.max(jnp.abs(a - b))):.3e}  f32 "
+          f"{float(jnp.max(jnp.abs(a - c))):.3e}", flush=True)
+
+    for dt_ in (jnp.uint8, jnp.bfloat16, jnp.float32):
+        for sweeps in (0, 2):
+            timed(f"spectrum view={dt_.__name__:9s} s{sweeps}",
+                  lambda x, s=sweeps, d=dt_: spectrum_dtype(x, s, d),
+                  (chans,))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
