@@ -84,15 +84,21 @@ def _pad_frames_to_blocks(x: jax.Array,
 # Fused-kernel sweep count for the serving path. End-to-end quality (stego
 # PSNR, extraction NC, detect score, JPEG-q50/noise/crop robustness) was
 # measured IDENTICAL to 4 decimal places at sweeps 3/4/5 on 1080p hardware
-# (round-1 sweep study): embed and extract run the SAME schedule on nearby
-# matrices, so the residual convergence bias cancels in (s_cw - sc). The
-# kernel-default 4 is kept for cross-path workflows (ops/wm_pallas.py);
-# the serving path takes the 3-sweep variant for ~12% less kernel time.
+# (round-1 sweep study), and within 0.006 NC / 0.006 detect at sweeps 2
+# (4K robustness sweep, rounds 2 and 3): embed and extract run the SAME
+# schedule on nearby matrices, so the residual convergence bias cancels in
+# (s_cw - sc) — the embed-time count rides the meta (embed_sweeps_used)
+# precisely so both sides replay it. The kernel-default 4 is kept for
+# cross-path workflows (ops/wm_pallas.py); serving takes 2 sweeps. The
+# round-2 A/B that measured s2 == s3 in fps ran when the step was
+# glue-bound; with the round-3 view-transpose work the kernels dominate
+# again and s2 measures 492 vs s3's 393 fps on 1080p color (the marginal
+# sweep is ~8.3 ms per 96-plane pass — tools/exp_sweepcost.py).
 # Re-validated each round by the 4K robustness bench (bench.py --config
 # robustness), which runs the fused path on hardware. DCTSVD_FUSED_SWEEPS
 # overrides for sweep-count quality/perf studies.
 import os as _os
-_FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "3"))
+_FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "2"))
 
 
 def embed_sweeps_used() -> int:
