@@ -463,6 +463,62 @@ def _masked_normalize(wy: jax.Array, bad_nat: Optional[jax.Array],
     return (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
 
 
+def _permute_slots(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """``take(x, idx, axis=-2)`` via a lead-axis gather. XLA's TPU gather
+    is row-overhead-bound: on [96, 32400, 4] f32 the straight axis=-2
+    take measured 13.2 ms (~66 MB!), while hoisting N to the lead axis so
+    each gathered row is lead·k elements measured 2.5 ms INCLUDING both
+    transposes (tools/exp_gather.py, v5e)."""
+    *lead, n, k = x.shape
+    p = 1
+    for d in lead:
+        p *= d
+    xt = jnp.transpose(x.reshape(p, n, k), (1, 0, 2))
+    y = jnp.take(xt, idx, axis=0)
+    return jnp.transpose(y, (1, 0, 2)).reshape(*lead, n, k)
+
+
+def _normalize_blocks(blocks: jax.Array, bad_nat: Optional[jax.Array],
+                      normalize: bool) -> jax.Array:
+    """Block-level form of :func:`_masked_normalize` for block-aligned
+    planes: identical arithmetic (min/max over good pixels equals the
+    min/max over good blocks' per-block extrema; min/max reductions are
+    order-exact in floating point), no plane-sized mask, and the
+    reductions run on the [..., N, 64] tensor the recon einsum just
+    produced. ``blocks`` [..., N, 64]; ``bad_nat`` [..., N] or None."""
+    if bad_nat is None:
+        if not normalize:
+            return blocks
+        lo = jnp.min(blocks, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(blocks, axis=(-2, -1), keepdims=True)
+        return (blocks - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+    bad = bad_nat[..., None]
+    if not normalize:
+        return jnp.where(bad, 0.0, blocks)
+    bmin = jnp.min(blocks, axis=-1)                      # [..., N]
+    bmax = jnp.max(blocks, axis=-1)
+    lo = jnp.min(jnp.where(bad_nat, jnp.inf, bmin), axis=-1, keepdims=True)
+    hi = jnp.max(jnp.where(bad_nat, -jnp.inf, bmax), axis=-1, keepdims=True)
+    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+    lo = jnp.where(ok, lo, jnp.min(bmin, axis=-1, keepdims=True))
+    hi = jnp.where(ok, hi, jnp.max(bmax, axis=-1, keepdims=True))
+    lo, hi = lo[..., None], hi[..., None]                # [..., 1, 1]
+    blocks = jnp.where(bad, (lo + hi) * 0.5, blocks)
+    return (blocks - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
+
+
+def _unblockify_to_frames(blocks: jax.Array, hp: int, wp: int) -> jax.Array:
+    """[..., C, N, 8, 8] pixel blocks -> [..., H, W, C] frames in ONE
+    rank-6 transpose (unblockify with the channel moveaxis folded in —
+    the output-side analog of wm_pallas._frames_cols_view)."""
+    *lead, c, n, b, _ = blocks.shape
+    hb, wb = hp // b, wp // b
+    x = blocks.reshape(*lead, c, hb, wb, b, b)
+    nd = x.ndim
+    perm = (*range(nd - 5), nd - 4, nd - 2, nd - 3, nd - 1, nd - 5)
+    return jnp.transpose(x, perm).reshape(*lead, hp, wp, c)
+
+
 def _clamp_sw_hat(sw_hat: jax.Array, sw: Optional[jax.Array]) -> jax.Array:
     """Robustify the recovered estimate against locally-destroyed blocks.
 
@@ -491,22 +547,39 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     s_cw = _plane_spectrum(planes, sweeps)
     return _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw)
+                                  normalize, h, w, sw=sw, out_u8=True)
 
 
 def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
                            ebasis: jax.Array, inv_blk: jax.Array,
                            alpha: jax.Array, kfrac: float,
                            normalize: bool, h: int, w: int,
-                           sw: Optional[jax.Array] = None) -> jax.Array:
+                           sw: Optional[jax.Array] = None,
+                           to_frames: bool = False,
+                           out_u8: bool = False) -> jax.Array:
     """Extract tail from an already-computed stego spectrum s_cw
-    [..., N, 8] (lets channels-last callers feed _frames_spectrum)."""
+    [..., N, 8] (lets channels-last callers feed _frames_spectrum).
+
+    With ``to_frames`` the result comes back channels-LAST
+    ([..., H, W, C] from [..., C, N, 8] input) with the channel moveaxis
+    folded into the unblockify transpose (one rank-6 pass). ``out_u8``
+    clips+casts before the output transpose (identical values to the
+    callers' clip/cast epilogue — normalize maps into [0, 255] already).
+    """
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
     raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
     bad = _erasure_mask(raw, sw, k)
-    sw_hat = _clamp_sw_hat(raw, sw)
-    sw_nat = jnp.take(sw_hat[..., :k], inv_blk, axis=-2)
+    sw_hat = _clamp_sw_hat(raw, sw)[..., :k]
+    if bad is None:
+        sw_nat = _permute_slots(sw_hat, inv_blk)
+        bad_nat = None
+    else:
+        # one gather for both: the bad mask rides as a (k+1)-th column
+        combo = jnp.concatenate(
+            [sw_hat, bad.astype(jnp.float32)[..., None]], axis=-1)
+        combo = _permute_slots(combo, inv_blk)
+        sw_nat, bad_nat = combo[..., :k], combo[..., k] > 0.5
     # The contraction runs with the block's 64 pixels FLATTENED on the
     # minor axis: with 8-sized minor dims XLA hands the dot output a
     # T(8,128)-padded layout at 4K (16x expansion -> 11.9 GB HBM OOM,
@@ -516,10 +589,28 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     eb = ebasis[..., :k, :, :]
     eb64 = eb.reshape(*eb.shape[:-2], BLOCK * BLOCK)
     blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
+    if (hp, wp) == (h, w):
+        # Block-aligned sizes (all the serving shapes): normalize on the
+        # [..., N, 64] block tensor BEFORE the unblockify transpose —
+        # min/max over good pixels == min over good blocks' mins, and the
+        # erasure repaint broadcasts a [..., N] mask instead of
+        # materializing a plane-sized pixel mask. With ``out_u8`` the
+        # clip+cast also happens pre-transpose, so the unblockify moves
+        # u8 bytes (1/4 the traffic). Cuts the tail's full-plane f32
+        # passes from ~6 to 2.
+        blocks = _normalize_blocks(blocks, bad_nat, normalize)
+        if out_u8:
+            blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
+        blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
+        if to_frames:
+            return _unblockify_to_frames(blocks, hp, wp)
+        return dct.unblockify(blocks, hp, wp)
     blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
     wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
-    bad_nat = None if bad is None else jnp.take(bad, inv_blk, axis=-1)
-    return _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
+    wy = _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
+    if out_u8:
+        wy = jnp.clip(wy, 0, 255).astype(jnp.uint8)
+    return jnp.moveaxis(wy, -3, -1) if to_frames else wy
 
 
 @functools.partial(jax.jit,
@@ -536,9 +627,8 @@ def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
     blocks — see _clamp_sw_hat."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
-    wy = _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw, sweeps=sweeps)
-    return jnp.clip(wy, 0, 255).astype(jnp.uint8)
+    return _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
+                                    normalize, h, w, sw=sw, sweeps=sweeps)
 
 
 @functools.partial(jax.jit,
@@ -550,11 +640,12 @@ def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            sw: Optional[jax.Array] = None,
                            sweeps: Optional[int] = None) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
-    # stego spectrum straight off the channels-last frames (no moveaxis)
+    # stego spectrum straight off the channels-last frames (no moveaxis);
+    # the output-side channel moveaxis rides the unblockify transpose
     s_cw = _frames_spectrum(stego_bgr_u8, sweeps)
-    wm = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
-                                normalize, h, w, sw=sw)
-    return jnp.moveaxis(jnp.clip(wm, 0, 255), -3, -1).astype(jnp.uint8)
+    return _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
+                                  normalize, h, w, sw=sw, to_frames=True,
+                                  out_u8=True)
 
 
 @functools.partial(jax.jit,

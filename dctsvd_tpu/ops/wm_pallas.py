@@ -359,6 +359,20 @@ def _make_spectrum_kernel(sweeps: int, bf16: bool = False):
     # serialized vector-op retire rate, not op mix, so the simpler
     # formulation that shares _jacobi_cols with the embed kernel wins.)
     # Runs on pixel columns directly — S(D·X·Dᵀ) = S(X), module docstring.
+    #
+    # Top-k restricted schedule (VERDICT r2 #8 — "stop maintaining the
+    # bottom-half columns after the first sweep"): MEASURED NEGATIVE
+    # verdict (2026-08-17, /tmp probes kept in the round-3 notes). Two
+    # obstacles: (a) _rotation is an INNER rotation — it annihilates apq
+    # without ordering, so which column holds a top-k component after a
+    # sweep is data-dependent (the dominant lands in column 0/1 ~99.8% of
+    # the time on image blocks, but ranks 2-4 scatter); (b) an
+    # end-to-end CPU probe of [full, restricted-22-pair] schedules (embed
+    # paints AND extract measures with the same schedule, u8 stego
+    # rounding between) degraded corr(ŝw, α·Sw) from 0.873 to 0.809 at
+    # s2 — the u8 quantization perturbs the matrix enough that the
+    # restricted schedules' larger residuals no longer cancel. ~5% step
+    # time was on the table; not worth the robustness margin.
 
     def kernel(x_ref, s_ref):
         x = _widen(x_ref[0])
