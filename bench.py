@@ -113,6 +113,34 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
         log(f"steady-state rep{rep}: {dt:.3f}s for {batch * iters} frames"
             f" ({batch * iters / dt:.1f} fps)")
         fps = max(fps, batch * iters / dt)
+
+    if color:
+        # the serve+verify roundtrip: same embed + same extract, but the
+        # verification spectrum reads the embed kernel's view output
+        # (bit-identical results — blocked.serve_verify_color_prepared)
+        @jax.jit
+        def step_rt(frames, sw, ebasis, iblk, alpha, acc):
+            stego, sc, rec = blocked.serve_verify_color_prepared.__wrapped__(
+                frames, sw, alpha, ebasis, iblk)
+            acc = (acc + rec.reshape(-1)[0].astype(jnp.float32)
+                   + stego.reshape(-1)[0].astype(jnp.float32)
+                   + sc.reshape(-1)[0])
+            return stego, rec, acc
+
+        acc = jnp.float32(0.0)
+        stego, rec, acc = step_rt(frames, pw.sw, pw.ebasis, pw.inv_blk,
+                                  alpha, acc)
+        _ = float(acc)
+        for rep in range(2):
+            t0 = time.time()
+            for _ in range(iters):
+                stego, rec, acc = step_rt(frames, pw.sw, pw.ebasis,
+                                          pw.inv_blk, alpha, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            log(f"serve+verify rep{rep}: {dt:.3f}s for {batch * iters} "
+                f"frames ({batch * iters / dt:.1f} fps)")
+            fps = max(fps, batch * iters / dt)
     return fps
 
 

@@ -355,6 +355,50 @@ def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
     return stego, sc, ps, ss
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize"))
+def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
+                                alpha: jax.Array, ebasis: jax.Array,
+                                inv_blk: jax.Array,
+                                kfrac: float = K_FRAC_DEFAULT,
+                                normalize: bool = True):
+    """Embed a frame batch AND extract from the produced stego in one
+    dispatch — the serve+verify step production watermarking pipelines
+    run per batch (embed, then confirm the mark recovers before
+    shipping). Returns (stego u8 [..., H, W, 3], sc [..., 3, N, 8],
+    recovered wm u8 [..., H, W, 3]).
+
+    On the fused path the verification spectrum reads the embed kernel's
+    u8 view output directly (bit-identical to re-transposing the stego —
+    wm_pallas.roundtrip_frames_blocks), deleting one u8 view-transpose
+    pass per batch vs the split embed/extract calls; results equal the
+    split calls exactly. Unaligned sizes and non-TPU backends compose the
+    split calls."""
+    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
+    aligned = h % BLOCK == 0 and w % BLOCK == 0
+    if _use_fused() and aligned:
+        from dctsvd_tpu.ops import wm_pallas
+        k = k_of_block(kfrac)
+        mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
+        sws = (alpha * mask * sw).astype(jnp.float32)
+        if sws.ndim == 2:
+            sws = sws[None]
+        elif sws.ndim > 3:
+            sws = sws.reshape(-1, *sws.shape[-2:])
+        stego, sc, s_cw = wm_pallas.roundtrip_frames_blocks.__wrapped__(
+            cover_bgr_u8, sws, k=k, sweeps=_FUSED_SWEEPS)
+        rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
+                                     kfrac, normalize, h, w, sw=sw,
+                                     to_frames=True, out_u8=True)
+        return stego, sc, rec
+    stego, sc, _, _ = embed_color_prepared.__wrapped__(
+        cover_bgr_u8, sw, alpha, kfrac=kfrac, with_metrics=False)
+    rec = extract_color_prepared.__wrapped__(
+        stego, sc, ebasis, inv_blk, alpha, kfrac=kfrac,
+        normalize=normalize, sw=sw)
+    return stego, sc, rec
+
+
 @functools.partial(jax.jit, static_argnames=("kfrac",))
 def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
                blk_idx: jax.Array, intra_idx: jax.Array, alpha: jax.Array,

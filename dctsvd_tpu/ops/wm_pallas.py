@@ -309,6 +309,49 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
     return kernel
 
 
+def _make_embed_verify_kernel(sweeps: int, k: int):
+    """Embed + verification spectrum in ONE kernel: after painting and
+    rounding the marked block to u8, re-run the values-only Jacobi on the
+    ROUNDED columns while they are still in VMEM. Emits (stego u8, sc,
+    s_cw) — s_cw is bit-identical to running the spectrum kernel on the
+    stego (same bytes, same schedule, same widen path), but the stego
+    never makes a second HBM round trip into a separate spectrum pass
+    (~3.8 ms in-DMA per 96-plane 1080p batch plus the second pallas
+    call's fixed costs)."""
+
+    def kernel(x_ref, sws_ref, out_ref, sc_ref, scw_ref):
+        x = _widen(x_ref[0])                         # [R, 8(row), 8(col), Wb]
+        xc = [x[:, :, c, :] for c in range(B)]
+        g, s = _jacobi_cols_g(xc, sweeps)
+
+        sws = sws_ref[0]                             # [R, 8, Wb]
+        s0sq = s[0] * s[0]
+        ycols = list(xc)
+        for j in range(k):
+            nj = s[j] * s[j]
+            vj = [_sum_rows(xc[c] * g[j]) for c in range(B)]
+            nrm2 = vj[0] * vj[0]
+            for c in range(1, B):
+                nrm2 = nrm2 + vj[c] * vj[c]
+            coef = (sws[:, j, :]
+                    * jax.lax.rsqrt(nrm2 + s0sq * nj * 1e-10 + 1e-30)
+                    * jax.lax.rsqrt(nj + 1e-30))
+            for c in range(B):
+                ycols[c] = ycols[c] + g[j] * (coef * vj[c])[..., None, :]
+        y = jnp.stack(ycols, axis=2)                 # [R, 8, 8, Wb]
+        y = jnp.clip(y, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0] = y
+        sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]
+
+        # verification spectrum on the rounded bytes (same columns the
+        # stego view would deliver)
+        yc = [_widen(y)[:, :, c, :] for c in range(B)]
+        s_cw = _jacobi_cols(yc, sweeps, compute_uv=False)
+        scw_ref[0] = jnp.stack(s_cw, axis=1)         # [R, 8, Wb]
+
+    return kernel
+
+
 def _jacobi_cols_g(g0, sweeps, bf16=False):
     """One-sided Jacobi returning (sorted RAW columns g_j = s_j·u_j,
     sorted S) — same rotations as _jacobi_cols but with no V carried
@@ -618,6 +661,73 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     sc_b = jnp.transpose(sc.reshape(-1, B, wb),
                          (0, 2, 1)).reshape(*lead, hb * wb, B)
     return marked, sc_b
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
+                                              "k"))
+def roundtrip_frames_blocks(frames: jax.Array, sws_scaled: jax.Array,
+                            sweeps: int = _SWEEPS_DEFAULT,
+                            rows: int | None = None,
+                            interpret: bool = False,
+                            k: int = B):
+    """Serve+verify: channels-last embed + verification spectrum in ONE
+    pallas kernel (_make_embed_verify_kernel).
+
+    The verification spectrum runs on the u8-ROUNDED marked columns while
+    they are still in VMEM — the same bytes (and the same widen path) a
+    separate :func:`spectrum_plane_blocks` call on the returned stego
+    would read back through HBM, so s_cw is bit-identical to the split
+    extract's front half while the stego's second HBM round trip
+    disappears. (A two-pallas-call variant that merely shared the view
+    layout measured ZERO gain over split calls at batch 96 — XLA's
+    simplifier already cancels the view(view⁻¹) transpose pair inside a
+    one-jit embed+extract step; the single-kernel form is what actually
+    deletes the DMA.) Only valid for block-aligned frames (callers pad
+    first) and the u8 color path — the gray path's YCrCb->BGR->luma
+    round trip quantizes, so its split extract is NOT the identity on the
+    marked plane.
+
+    Returns (stego [..., H, W, C] u8, sc [..., C, N, 8],
+    s_cw [..., C, N, 8]) — s_cw is the stego spectrum at the same sweep
+    schedule, ready for the extract/detect tails.
+    """
+    view, lead, hb, wb = _frames_cols_view(frames)
+    p = view.shape[0]
+    c = sws_scaled.shape[0]
+    sws_v = jnp.transpose(sws_scaled.reshape(c * hb, wb, B),
+                          (0, 2, 1)).reshape(c, hb, B, wb)
+    r = rows or _rows_per_cell(hb, wb)
+    grid = (p, hb // r)
+    marked_v, sc, s = pl.pallas_call(
+        _make_embed_verify_kernel(sweeps, k), grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, B, B, wb), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, B, wb), lambda i, j: (i % c, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, r, B, B, wb), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, B, wb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, B, wb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(view.shape, jnp.uint8),
+            jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
+            jax.ShapeDtypeStruct((p, hb, B, wb), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(view, sws_v)
+    stego = _cols_to_frames(marked_v, lead, hb, wb)
+    sc_b = jnp.transpose(sc.reshape(-1, B, wb),
+                         (0, 2, 1)).reshape(*lead, hb * wb, B)
+    s_cw = jnp.transpose(s.reshape(-1, B, wb),
+                         (0, 2, 1)).reshape(*lead, hb * wb, B)
+    return stego, sc_b, s_cw
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",

@@ -219,3 +219,22 @@ def test_image_meta_records_sweeps(tmp_path, make_image):
                             method="blocked")
     meta = metaio.load_meta(mp)
     assert meta.sweeps == m_blocked.embed_sweeps_used()
+
+
+def test_serve_verify_matches_split(make_image):
+    """serve_verify_color_prepared == embed_color_prepared followed by
+    extract_color_prepared (on CPU it composes them; on TPU the fused
+    roundtrip is pinned bit-identical by test_roundtrip_matches_split)."""
+    cover, wm, wm_gray, key, (blk, intra), (iblk, iintra) = _setup(
+        make_image, 64, 80)
+    alpha = jnp.float32(0.12)
+    pwc = blocked.prepare_wm_color(jnp.asarray(wm), blk, intra)
+    stego, sc, rec = blocked.serve_verify_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha, pwc.ebasis, iblk)
+    stego2, sc2, _, _ = blocked.embed_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha, with_metrics=False)
+    rec2 = blocked.extract_color_prepared(stego2, sc2, pwc.ebasis, iblk,
+                                          alpha, sw=pwc.sw)
+    np.testing.assert_array_equal(np.asarray(stego), np.asarray(stego2))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+    assert rec.dtype == jnp.uint8 and stego.dtype == jnp.uint8

@@ -243,3 +243,24 @@ def test_channels_last_matches_plane_path(data):
     s_f = wm_pallas.spectrum_plane_blocks(frames_hwc, channels_last=True,
                                           interpret=True)
     np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_p))
+
+
+def test_roundtrip_matches_split(data):
+    """roundtrip_frames_blocks == embed(channels_last, out_u8) followed by
+    spectrum_plane_blocks on the produced stego, bit-exactly — the
+    verification spectrum reads the embed kernel's view output, which is
+    the same u8 bytes the stego re-view would produce."""
+    planes, sws, h, w, n = data
+    frames = jnp.clip(jnp.moveaxis(planes, -3, -1), 0, 255
+                      ).astype(jnp.uint8)                 # [B, H, W, 3]
+    stego, sc, s_cw = wm_pallas.roundtrip_frames_blocks(
+        frames, sws, sweeps=2, k=4, interpret=True)
+    m_split, sc_split = wm_pallas.embed_plane_blocks(
+        frames, sws, sweeps=2, k=4, out_u8=True, channels_last=True,
+        interpret=True)
+    s_split = wm_pallas.spectrum_plane_blocks(
+        m_split, sweeps=2, channels_last=True, interpret=True)
+    assert stego.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(stego), np.asarray(m_split))
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_split))
+    np.testing.assert_array_equal(np.asarray(s_cw), np.asarray(s_split))
