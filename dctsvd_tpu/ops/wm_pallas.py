@@ -382,6 +382,11 @@ def _jacobi_cols_g(g0, sweeps, bf16=False):
 
     g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
     g = [up(c) for c in g]
+    # Fresh final norms, not the Rutishauser-cached ones: reusing the
+    # cached norms (sqrt(norms[i]), saving 8 full-width mults + 8
+    # _sum_rows) measured DEAD EVEN on v5e (29.34 vs 29.35 ms, s2 r=3,
+    # 96x1080p — tools/exp_cachednorms.py), and the fresh form is exact
+    # while the cached one drifts by the accumulated t*apq rounding.
     s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
     for i, j in _SORT_NET:
         swap = s[i] < s[j]
