@@ -415,7 +415,11 @@ def main():
                             "video", "robustness", "4k", "mesh",
                             "1080p-full"])
     p.add_argument("--mesh-devices", type=int, default=8)
-    p.add_argument("--batch", type=int, default=96)
+    # batch sweep on v5e (round 3, s2 serving): 96 -> 490 fps, 112 -> 506,
+    # 128 -> 517/518 (two runs), 144 -> 465, 160 -> 474, 192 -> 491;
+    # 128 frames (384 planes) is the measured knee — enough rows to hide
+    # the inter-kernel glue, before the working set starts thrashing HBM
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--scheme", choices=["blocked", "full"],
                    default="blocked", help="video bench scheme")
