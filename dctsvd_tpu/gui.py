@@ -210,8 +210,16 @@ def main():  # pragma: no cover - interactive
     ttk.Label(et, textvariable=info_v, wraplength=560).pack(fill="x")
 
     def do_embed():
+        try:
+            # DoubleVar.get raises TclError on non-numeric spinbox text
+            # BEFORE the handler's own try can show it — surface it in
+            # the info label like every other handler error
+            alpha = alpha_v.get()
+        except tk.TclError:
+            info_v.set("ERROR: alpha must be a number (e.g. 0.12).")
+            return
         res = handle_embed(cover_v.get(), wm_v.get(), out_v.get(),
-                           pwd_v.get(), alpha_v.get(), color_v.get(),
+                           pwd_v.get(), alpha, color_v.get(),
                            blocked_v.get())
         info_v.set(res.message)
         if res.preview_path:

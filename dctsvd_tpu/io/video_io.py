@@ -170,7 +170,12 @@ class AsyncEncoder:
 
     _ROLL = "roll"
 
-    def __init__(self, writer, queue_size: int = 64):
+    def __init__(self, writer, queue_size: int = 16):
+        # 16, not larger: every queued frame is host RAM (~24 MB at 4K
+        # color), additive with the decode queue (48) and the embed
+        # loop's ordered buffer (32) — the encoder only needs enough
+        # depth to stay busy across the producer's device-wait gaps,
+        # and 16 keeps the writer-side bound below the decode side's.
         self._writer = writer
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._exc: Optional[BaseException] = None

@@ -123,9 +123,12 @@ def embed_sweeps_used() -> int:
 
 
 def replay_sweeps(meta_sweeps: int) -> int:
-    """Sweep count extract/detect should run for a meta embedded with
-    ``meta_sweeps`` (0 = converged/XLA embed -> use the kernel-default
-    schedule, whose spectra sit at the f32 floor)."""
+    """FUSED-path sweep count for a meta embedded with ``meta_sweeps``
+    (0 = converged/XLA embed -> the near-converged kernel default, whose
+    spectra sit at the f32 floor). Callers pass ``meta.sweeps`` straight
+    to extract/detect; _plane_spectrum applies this mapping on the fused
+    branch and runs the exact pixel-domain replay (>0) or the converged
+    DCT-domain SVD (0) on the XLA fallback."""
     from dctsvd_tpu.ops import wm_pallas
     return meta_sweeps if meta_sweeps > 0 else wm_pallas._SWEEPS_DEFAULT
 
@@ -152,16 +155,47 @@ def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
 def _plane_spectrum(plane: jax.Array,
                     sweeps: Optional[int] = None) -> jax.Array:
     """[..., H, W] plane (u8 or float) -> per-block singular values
-    [..., N, 8]. u8 input widens inside the fused view transpose (free).
-    ``sweeps`` overrides the fused kernel's schedule (extract/detect pass
-    the embed-time count from the meta — see embed_sweeps_used)."""
+    [..., N, 8].  u8 input widens inside the fused view transpose (free).
+
+    ``sweeps`` is the embed-time schedule to REPLAY (``meta.sweeps``:
+    >0 = that many fused-kernel cyclic sweeps, 0 = the meta was embedded
+    by the converged XLA path) — None means "current serving default".
+    On the fused path 0 maps to the near-converged kernel default
+    (replay_sweeps).  On the XLA fallback a >0 count replays the fused
+    schedule EXACTLY: the fused kernels run one-sided Jacobi on PIXEL
+    blocks (module docstring) in the same cyclic pair order and
+    Rutishauser updates as svd._jacobi_svd_xla, so running that on the
+    same pixel blocks reproduces the partial-convergence residual up to
+    rounding and (s_cw − sc) keeps cancelling across backends — a TPU
+    fused embed extracted on a CPU host previously ran the converged
+    DCT-domain SVD here, silently dropping the schedule and leaving the
+    un-cancelled residual this module's sweep comments warn about
+    (pinned by tests/test_wm_pallas.py::test_spectrum_replay_cross_path).
+    """
     padded, _, _ = _pad_to_blocks(plane)
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
         return wm_pallas.spectrum_plane_blocks.__wrapped__(
-            padded, sweeps=_FUSED_SWEEPS if sweeps is None else sweeps)
+            padded,
+            sweeps=(_FUSED_SWEEPS if sweeps is None
+                    else replay_sweeps(sweeps)))
+    if sweeps:
+        blocks = dct.blockify(padded.astype(jnp.float32))
+        return svd.jacobi_svd(blocks, sweeps=sweeps, compute_uv=False)
     coefs = dct.dct2_plane_blocks(padded.astype(jnp.float32))
     return svd.jacobi_svd(coefs, compute_uv=False)
+
+
+def _scaled_sws(sw: jax.Array, alpha: jax.Array,
+                mask: jax.Array) -> jax.Array:
+    """α·mask·Sw collapsed to the [P, N, 8] layout the fused kernels take
+    ([N, 8] gray gains a leading plane axis; deeper batches flatten)."""
+    sws = (alpha * mask * sw).astype(jnp.float32)
+    if sws.ndim == 2:
+        sws = sws[None]
+    elif sws.ndim > 3:
+        sws = sws.reshape(-1, *sws.shape[-2:])
+    return sws
 
 
 def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
@@ -179,11 +213,7 @@ def _embed_planes(planes: jax.Array, sw: jax.Array, alpha: jax.Array,
 
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
-        sws = (alpha * mask * sw).astype(jnp.float32)
-        if sws.ndim == 2:
-            sws = sws[None]                          # [1, N, 8] gray
-        elif sws.ndim > 3:
-            sws = sws.reshape(-1, *sws.shape[-2:])
+        sws = _scaled_sws(sw, alpha, mask)
         marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
             padded, sws, k=k, sweeps=_FUSED_SWEEPS, out_u8=out_u8)
         return marked[..., :h, :w], sc
@@ -209,11 +239,7 @@ def _embed_frames(frames_bhwc: jax.Array, sw: jax.Array, alpha: jax.Array,
         from dctsvd_tpu.ops import wm_pallas
         k = k_of_block(kfrac)
         mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
-        sws = (alpha * mask * sw).astype(jnp.float32)
-        if sws.ndim == 2:
-            sws = sws[None]
-        elif sws.ndim > 3:
-            sws = sws.reshape(-1, *sws.shape[-2:])
+        sws = _scaled_sws(sw, alpha, mask)
         padded, _, _ = _pad_frames_to_blocks(frames_bhwc)
         marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
             padded, sws, k=k, sweeps=_FUSED_SWEEPS, out_u8=True,
@@ -391,11 +417,7 @@ def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
         from dctsvd_tpu.ops import wm_pallas
         k = k_of_block(kfrac)
         mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
-        sws = (alpha * mask * sw).astype(jnp.float32)
-        if sws.ndim == 2:
-            sws = sws[None]
-        elif sws.ndim > 3:
-            sws = sws.reshape(-1, *sws.shape[-2:])
+        sws = _scaled_sws(sw, alpha, mask)
         stego, sc, s_cw = wm_pallas.roundtrip_frames_blocks.__wrapped__(
             cover_bgr_u8, sws, k=k, sweeps=_FUSED_SWEEPS)
         rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
@@ -878,7 +900,7 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
             jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
             kfrac=meta.kfrac, normalize=normalize,
             sw=jnp.asarray(meta.arrays["Sw"]),
-            sweeps=replay_sweeps(meta.sweeps))
+            sweeps=meta.sweeps)
     return to_numpy(wm)
 
 
@@ -900,5 +922,5 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float):
     score = float(fn(jnp.asarray(stego), jnp.asarray(meta.arrays["Sc"]),
                      jnp.asarray(meta.arrays["Sw"]),
                      jnp.float32(meta.alpha), kfrac=meta.kfrac,
-                     sweeps=replay_sweeps(meta.sweeps)))
+                     sweeps=meta.sweeps))
     return bool(score >= thresh), score

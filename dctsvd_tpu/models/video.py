@@ -535,6 +535,16 @@ def _load_resume_state(meta_path: str, write_path: str, scheme: str,
             or abs(prev.kfrac - kfrac) > 1e-12
             or prev.frame_interval != frame_interval):
         return None
+    # The Jacobi sweep schedule is an embed parameter like alpha/kfrac:
+    # splicing segments embedded under different schedules would leave the
+    # final meta recording only the LAST run's count, so extraction's
+    # schedule replay (s_cw − sc cancellation) silently breaks for the
+    # earlier frames. A rerun under a different DCTSVD_FUSED_SWEEPS — or
+    # on a different backend (fused vs XLA) — must restart.
+    sweeps_now = (m_blocked.embed_sweeps_used() if scheme == "blocked"
+                  else 0)
+    if prev.sweeps != sweeps_now:
+        return None
     # pre-round-3 checkpoints carry no host_sig ("") and stay resumable;
     # any recorded signature must match the current host file exactly
     if prev.host_sig and prev.host_sig != host_sig:
@@ -726,8 +736,7 @@ def extract_watermark_video(video_path: str, meta_path: str,
             est = _recover_wm_blocked(jnp.asarray(planes),
                                       jnp.asarray(sorig), uw_d, vtw_d,
                                       alpha_d, meta.kfrac, h, w, sw=sw_d,
-                                      sweeps=m_blocked.replay_sweeps(
-                                          meta.sweeps),
+                                      sweeps=meta.sweeps,
                                       channels_last=hwc_x)
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))

@@ -239,6 +239,37 @@ def _make_embed_kernel(sweeps: int):
     return kernel
 
 
+def _paint_cols(xc, g, s, sws, k):
+    """The V-free delta paint shared by the delta and embed+verify
+    kernels (one body so a numerics change cannot diverge the two and
+    silently break the roundtrip kernel's bit-identical-to-split
+    contract): with the RAW rotated columns g_j = s_j·u_j and the missing
+    1/s_j folded into the coefficient,
+
+      y_c = x_c + Σ_{j<k} g_j · (sws_j · rsqrt(‖Xᵀg_j‖² + ε) ·
+                                 rsqrt(‖g_j‖² + ε) · (Xᵀg_j)_c)
+
+    — identical math to Δ_j = sws_j·û_j·v̂_jᵀ (see
+    _make_embed_kernel_delta's docstring for why v̂ normalizes by the
+    MEASURED ‖Xᵀu_j‖, never a clamped 1/s_j).  ‖g_j‖² is the cached
+    s_j²; nrm2 = s_j²·‖Xᵀu_j‖², so the u-form's relative floor
+    eps2 = (s_max·1e-5)² scales by s_j² alongside it."""
+    s0sq = s[0] * s[0]
+    ycols = list(xc)
+    for j in range(k):
+        nj = s[j] * s[j]                             # ‖g_j‖²
+        vj = [_sum_rows(xc[c] * g[j]) for c in range(B)]   # (Xᵀg_j)[c]
+        nrm2 = vj[0] * vj[0]
+        for c in range(1, B):
+            nrm2 = nrm2 + vj[c] * vj[c]
+        coef = (sws[:, j, :]
+                * jax.lax.rsqrt(nrm2 + s0sq * nj * 1e-10 + 1e-30)
+                * jax.lax.rsqrt(nj + 1e-30))
+        for c in range(B):
+            ycols[c] = ycols[c] + g[j] * (coef * vj[c])[..., None, :]
+    return ycols
+
+
 def _make_embed_kernel_delta(sweeps: int, k: int,
                              out_u8: bool = False, bf16: bool = False):
     """V-free embed: the round-1 kernel accumulated V through every one of
@@ -270,29 +301,7 @@ def _make_embed_kernel_delta(sweeps: int, k: int,
         x = _widen(x_ref[0])                         # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]       # pixel columns = G0
         g, s = _jacobi_cols_g(xc, sweeps, bf16=bf16)
-
-        # Paint with the RAW rotated columns g_j = s_j·u_j and fold the
-        # missing 1/s_j into the coefficient (two extra scalar rsqrts per
-        # component instead of 8 full-width divides building U):
-        #   Δ_j = sws_j · (g_j/‖g_j‖) · (Xᵀg_j)ᵀ/‖Xᵀg_j‖
-        # identical math to the u-column form — ‖g_j‖² is the cached s_j².
-        sws = sws_ref[0]                             # [R, 8, Wb] (α·mask·Sw)
-        s0sq = s[0] * s[0]
-        ycols = list(xc)
-        for j in range(k):
-            nj = s[j] * s[j]                         # ‖g_j‖²
-            vj = [_sum_rows(xc[c] * g[j]) for c in range(B)]  # (Xᵀg_j)[c]
-            nrm2 = vj[0] * vj[0]
-            for c in range(1, B):
-                nrm2 = nrm2 + vj[c] * vj[c]
-            # nrm2 = s_j²·‖Xᵀu_j‖²; the u-form's relative floor
-            # eps2 = (s_max·1e-5)² scales by s_j² alongside it
-            coef = (sws[:, j, :]
-                    * jax.lax.rsqrt(nrm2 + s0sq * nj * 1e-10 + 1e-30)
-                    * jax.lax.rsqrt(nj + 1e-30))
-            for c in range(B):
-                ycols[c] = ycols[c] + g[j] * (coef * vj[c])[..., None, :]
-        y = jnp.stack(ycols, axis=2)                 # [R, 8, 8, Wb]
+        y = jnp.stack(_paint_cols(xc, g, s, sws_ref[0], k), axis=2)
         if out_u8:
             # clip+truncate in VMEM: the marked plane leaves the kernel as
             # the final stego bytes (1/4 the HBM write + a 4x cheaper
@@ -323,22 +332,7 @@ def _make_embed_verify_kernel(sweeps: int, k: int):
         x = _widen(x_ref[0])                         # [R, 8(row), 8(col), Wb]
         xc = [x[:, :, c, :] for c in range(B)]
         g, s = _jacobi_cols_g(xc, sweeps)
-
-        sws = sws_ref[0]                             # [R, 8, Wb]
-        s0sq = s[0] * s[0]
-        ycols = list(xc)
-        for j in range(k):
-            nj = s[j] * s[j]
-            vj = [_sum_rows(xc[c] * g[j]) for c in range(B)]
-            nrm2 = vj[0] * vj[0]
-            for c in range(1, B):
-                nrm2 = nrm2 + vj[c] * vj[c]
-            coef = (sws[:, j, :]
-                    * jax.lax.rsqrt(nrm2 + s0sq * nj * 1e-10 + 1e-30)
-                    * jax.lax.rsqrt(nj + 1e-30))
-            for c in range(B):
-                ycols[c] = ycols[c] + g[j] * (coef * vj[c])[..., None, :]
-        y = jnp.stack(ycols, axis=2)                 # [R, 8, 8, Wb]
+        y = jnp.stack(_paint_cols(xc, g, s, sws_ref[0], k), axis=2)
         y = jnp.clip(y, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
         out_ref[0] = y
         sc_ref[0] = jnp.stack(s, axis=1)             # [R, 8, Wb]

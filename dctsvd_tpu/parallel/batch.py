@@ -29,8 +29,9 @@ from dctsvd_tpu.parallel import mesh as mesh_lib
 
 # --- module-level bodies (stable identities for the jit cache) -----------
 
-def _detect_blocked_body(st, sc, sw, alpha):
-    return blocked.detect_gray.__wrapped__(st, sc, sw, alpha)
+def _detect_blocked_body(sweeps, st, sc, sw, alpha):
+    return blocked.detect_gray.__wrapped__(st, sc, sw, alpha,
+                                           sweeps=sweeps)
 
 
 def _detect_full_body(st, sc, sw, alpha):
@@ -44,9 +45,11 @@ def _embed_prepared_body(kfrac, frames, sw, alpha):
     return stego, sc
 
 
-def _extract_prepared_body(kfrac, stego, sc, ebasis, inv_blk, sw, alpha):
+def _extract_prepared_body(kfrac, sweeps, stego, sc, ebasis, inv_blk, sw,
+                           alpha):
     return blocked.extract_gray_prepared.__wrapped__(
-        stego, sc, ebasis, inv_blk, alpha, kfrac=kfrac, sw=sw)
+        stego, sc, ebasis, inv_blk, alpha, kfrac=kfrac, sw=sw,
+        sweeps=sweeps)
 
 
 @functools.lru_cache(maxsize=64)
@@ -67,16 +70,21 @@ def _sharded_jit(body, mesh: Mesh, n_batch_args: int, n_args: int,
 
 def batch_detect_blocked(stegos: jax.Array, sc: jax.Array, sw: jax.Array,
                          alpha, mesh: Optional[Mesh] = None,
-                         per_frame_sc: bool = False) -> jax.Array:
+                         per_frame_sc: bool = False,
+                         sweeps: Optional[int] = None) -> jax.Array:
     """Scores for [B, H, W, 3] stego batch. B must divide by the mesh's
     batch axis size. Default: one replicated meta scored against many
     images (BASELINE config 3). ``per_frame_sc=True``: ``sc`` is the
     [B, N, 8] per-frame cover spectra from a sharded embed and shards
-    with its frames (video-chunk serving)."""
+    with its frames (video-chunk serving). ``sweeps``: the meta's
+    embed-time Jacobi schedule (``meta.sweeps``) — the sharded spectrum
+    must replay it exactly like single-chip detect_paths does, or the
+    (s_cw − sc) residual cancellation breaks for metas embedded under a
+    different schedule than this process's serving default."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     fn = _sharded_jit(_detect_blocked_body, mesh, 2 if per_frame_sc else 1,
-                      4)
+                      4, static=(sweeps,))
     return fn(stegos, sc, sw, jnp.float32(alpha))
 
 
@@ -107,12 +115,15 @@ def batch_embed_prepared(frames: jax.Array, sw: jax.Array, alpha,
 def batch_extract_prepared(stegos: jax.Array, sc: jax.Array,
                            ebasis: jax.Array, inv_blk: jax.Array,
                            sw: jax.Array, alpha, kfrac: float = 0.6,
-                           mesh: Optional[Mesh] = None) -> jax.Array:
+                           mesh: Optional[Mesh] = None,
+                           sweeps: Optional[int] = None) -> jax.Array:
     """Sharded serving extract against the prepared pixel basis
-    (replicated); per-frame sc shards with its frames."""
+    (replicated); per-frame sc shards with its frames. ``sweeps`` replays
+    the meta's embed-time schedule (see batch_detect_blocked)."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    fn = _sharded_jit(_extract_prepared_body, mesh, 2, 6, static=(kfrac,))
+    fn = _sharded_jit(_extract_prepared_body, mesh, 2, 6,
+                      static=(kfrac, sweeps))
     return fn(stegos, sc, ebasis, inv_blk, sw, jnp.float32(alpha))
 
 

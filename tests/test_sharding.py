@@ -49,6 +49,16 @@ def test_batch_detect_matches_single(mesh8, make_image):
                                        jnp.float32(0.12)))
     np.testing.assert_allclose(scores, single, atol=1e-5)
 
+    # sweep replay rides the sharded path too (code-review r3: the
+    # sharded spectrum must replay the meta's embed-time schedule like
+    # single-chip detect_paths, not this process's serving default)
+    scores_rp = np.asarray(pbatch.batch_detect_blocked(
+        stegos, res.sc, res.sw, 0.12, mesh=mesh8, sweeps=2))
+    single_rp = float(blocked.detect_gray(jnp.asarray(stego), res.sc,
+                                          res.sw, jnp.float32(0.12),
+                                          sweeps=2))
+    np.testing.assert_allclose(scores_rp, single_rp, atol=1e-5)
+
 
 def test_batch_embed_sharded(mesh8, make_image):
     h = w = 64

@@ -346,8 +346,18 @@ def test_resume_ignores_mismatched_checkpoint(tmp_path, clip, wm_png):
         assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
                                           False, sw_now, 1.0,
                                           "other.mp4:123:456") is None
-        # legacy checkpoint without host_sig stays resumable
+        # different Jacobi sweep schedule -> rejected (code-review r3:
+        # splicing segments embedded under different schedules leaves the
+        # final meta recording only the last run's count, silently
+        # breaking extraction's replay for the earlier frames)
         import dataclasses as _dc
+        metaio.save_video_meta(meta_p, _dc.replace(
+            metaio.load_video_meta(meta_p), sweeps=1))
+        assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,
+                                          False, sw_now, 1.0, sig) is None
+        metaio.save_video_meta(meta_p, _dc.replace(
+            metaio.load_video_meta(meta_p), sweeps=0))
+        # legacy checkpoint without host_sig stays resumable
         metaio.save_video_meta(meta_p, _dc.replace(
             metaio.load_video_meta(meta_p), host_sig=""))
         assert m_video._load_resume_state(meta_p, out, "full", 0.05, 5,

@@ -135,6 +135,32 @@ def test_spectrum_matches_xla(data):
                                atol=1e-3 * ref.max())
 
 
+def test_spectrum_replay_cross_path(data):
+    """Cross-backend sweep replay: the XLA fallback replays a fused
+    embed's PARTIAL schedule by running svd.jacobi_svd on the same PIXEL
+    blocks with the meta's sweep count (models/blocked._plane_spectrum).
+    At sweeps=2 the pixel-domain replay must track the kernel to rounding
+    level, while the converged DCT-domain spectrum (the pre-fix fallback)
+    differs by the partial-convergence residual — the un-cancelled error
+    the sweep-replay machinery exists to remove."""
+    planes, _, _, _, _ = data
+    kern = np.asarray(wm_pallas.spectrum_plane_blocks(planes, sweeps=2,
+                                                      interpret=True))
+    replay = np.asarray(svd.jacobi_svd(dct.blockify(planes), sweeps=2,
+                                       compute_uv=False))
+    converged = np.asarray(svd.jacobi_svd(dct.dct2_plane_blocks(planes),
+                                          compute_uv=False))
+    np.testing.assert_allclose(replay, kern, rtol=0,
+                               atol=5e-4 * kern.max())
+    replay_err = np.abs(replay - kern).max()
+    resid = np.abs(converged - kern).max()
+    assert replay_err < 0.2 * resid, (replay_err, resid)
+
+    from dctsvd_tpu.models import blocked as m_blocked
+    got = np.asarray(m_blocked._plane_spectrum(planes, sweeps=2))
+    np.testing.assert_array_equal(got, replay)
+
+
 def test_rows_batching_equivalent(data):
     planes, sws, _, _, _ = data
     m1, sc1 = wm_pallas.embed_plane_blocks(planes, sws, rows=1,
