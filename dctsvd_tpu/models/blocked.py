@@ -254,12 +254,19 @@ def _embed_frames(frames_bhwc: jax.Array, sw: jax.Array, alpha: jax.Array,
 def _frames_spectrum(frames_bhwc: jax.Array,
                      sweeps: Optional[int] = None) -> jax.Array:
     """Channels-LAST per-block spectrum: [..., H, W, C] -> [..., C, N, 8]
-    (fused path skips the moveaxis; see _frames_cols_view)."""
+    (fused path skips the moveaxis; see _frames_cols_view). ``sweeps``
+    carries _plane_spectrum's replay semantics — in particular 0 (meta
+    embedded by the converged XLA path) must map to the near-converged
+    kernel default here too, never reach the kernel raw (a 0-sweep
+    fori_loop would return unrotated column norms, not singular
+    values)."""
     if _use_fused():
         from dctsvd_tpu.ops import wm_pallas
         padded, _, _ = _pad_frames_to_blocks(frames_bhwc)
         return wm_pallas.spectrum_plane_blocks.__wrapped__(
-            padded, sweeps=_FUSED_SWEEPS if sweeps is None else sweeps,
+            padded,
+            sweeps=(_FUSED_SWEEPS if sweeps is None
+                    else replay_sweeps(sweeps)),
             channels_last=True)
     return _plane_spectrum(jnp.moveaxis(frames_bhwc, -1, -3), sweeps)
 

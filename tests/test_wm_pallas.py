@@ -158,7 +158,24 @@ def test_spectrum_replay_cross_path(data):
 
     from dctsvd_tpu.models import blocked as m_blocked
     got = np.asarray(m_blocked._plane_spectrum(planes, sweeps=2))
-    np.testing.assert_array_equal(got, replay)
+    if m_blocked._use_fused():
+        # TPU / DCTSVD_FUSED=1 runs: the dispatch goes to the hardware
+        # kernel, which matches the XLA replay only to rounding level
+        np.testing.assert_allclose(got, replay, rtol=0,
+                                   atol=5e-4 * kern.max())
+    else:
+        np.testing.assert_array_equal(got, replay)
+
+    # meta.sweeps=0 (converged XLA embed) must NEVER reach the fused
+    # kernel raw — a 0-sweep fori_loop returns unrotated column norms.
+    # Both spectrum entry points map it to the near-converged default.
+    s_plane = np.asarray(m_blocked._plane_spectrum(planes, sweeps=0))
+    np.testing.assert_allclose(s_plane, converged, rtol=0,
+                               atol=2e-3 * converged.max())
+    frames = jnp.moveaxis(jnp.asarray(planes), -3, -1)  # [B, H, W, C]
+    s_frames = np.asarray(m_blocked._frames_spectrum(frames, sweeps=0))
+    np.testing.assert_allclose(s_frames, converged, rtol=0,
+                               atol=2e-3 * converged.max())
 
 
 def test_rows_batching_equivalent(data):
