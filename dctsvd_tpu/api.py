@@ -100,9 +100,10 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
         sw = np.asarray(res.sw)
         digest = metaio.color_digest(key, s_bgr, uw, vwt) if key else None
         image_io.write_png(out_path, to_numpy(res.stego_bgr))
-        metaio.save_color_meta(meta_path, s_bgr=s_bgr, uw=uw, vwt=vwt, sw=sw,
-                               shape=(h, w), alpha=alpha, kfrac=kfrac,
-                               nonce=nonce, digest=digest)
+        meta_path = metaio.save_color_meta(
+            meta_path, s_bgr=s_bgr, uw=uw, vwt=vwt, sw=sw,
+            shape=(h, w), alpha=alpha, kfrac=kfrac,
+            nonce=nonce, digest=digest)
     else:
         wm_gray = to_numpy(c_ops.bgr_to_gray(jnp.asarray(wm_rs)))
         res = m_image.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
@@ -113,10 +114,11 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
         vwt = np.asarray(res.vwt)
         digest = metaio.gray_digest(key, sc, uw, vwt) if key else None
         image_io.write_png(out_path, to_numpy(res.stego_bgr))
-        metaio.save_gray_meta(meta_path, sc=sc, uw=uw, vwt=vwt,
-                              sw=np.asarray(res.sw), shape=(h, w),
-                              alpha=alpha, kfrac=kfrac, nonce=nonce,
-                              digest=digest)
+        meta_path = metaio.save_gray_meta(
+            meta_path, sc=sc, uw=uw, vwt=vwt,
+            sw=np.asarray(res.sw), shape=(h, w),
+            alpha=alpha, kfrac=kfrac, nonce=nonce,
+            digest=digest)
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 
 
@@ -243,11 +245,12 @@ def embed_payload(cover_path: str, payload, out_path: str, meta_path: str,
     digest = metaio.gray_digest(key, sc, uw, vwt) if key else None
     out_path = metaio.default_stego_path(out_path)
     image_io.write_png(out_path, to_numpy(res.stego_bgr))
-    metaio.save_gray_meta(meta_path, sc=sc, uw=uw, vwt=vwt,
-                          sw=np.asarray(res.sw), shape=(h, w), alpha=alpha,
-                          kfrac=kfrac, nonce=nonce, digest=digest,
-                          payload_type=ptype,
-                          extra={"repeat": int(repeat)})
+    meta_path = metaio.save_gray_meta(
+        meta_path, sc=sc, uw=uw, vwt=vwt,
+        sw=np.asarray(res.sw), shape=(h, w), alpha=alpha,
+        kfrac=kfrac, nonce=nonce, digest=digest,
+        payload_type=ptype,
+        extra={"repeat": int(repeat)})
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 
 

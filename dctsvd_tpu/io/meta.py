@@ -24,6 +24,21 @@ import numpy as np
 from dctsvd_tpu.utils import crypto
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to any path not already ending in it, so a
+    caller passing 'img.meta' would get 'img.meta.npz' on disk while every
+    save function returned (and the API surfaced) the nonexistent original
+    path. Normalize once here; savers return the REAL path and loaders
+    accept either spelling."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _load_path(path: str) -> str:
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        return path + ".npz"
+    return path
+
+
 MODE_GRAY = "gray"
 MODE_COLOR = "color"
 MODE_BLOCKED_GRAY = "blocked-gray"
@@ -62,6 +77,7 @@ def save_gray_meta(path: str, *, sc, uw, vwt, sw, shape, alpha: float,
         kw["digest"] = np.frombuffer(digest, dtype=np.uint8)
     if extra:
         kw.update(extra)
+    path = _npz_path(path)
     np.savez_compressed(path, **kw)
     return path
 
@@ -86,6 +102,7 @@ def save_color_meta(path: str, *, s_bgr, uw, vwt, sw, shape, alpha: float,
         kw["digest"] = np.frombuffer(digest, dtype=np.uint8)
     if extra:
         kw.update(extra)
+    path = _npz_path(path)
     np.savez_compressed(path, **kw)
     return path
 
@@ -132,14 +149,17 @@ class Meta:
         return self.arrays["Uw"], self.arrays["Vwt"], self.arrays["Sw"]
 
 
+# Only the keys load_meta actually consumes into Meta fields: anything
+# else (including caller ``extra`` entries that happen to be named like
+# video-meta scalars, e.g. 'text'/'font_size') stays visible in
+# Meta.arrays instead of silently vanishing on a save->load round trip.
 _SCALARS = {"mode", "payload_type", "alpha", "kfrac", "shape", "nonce",
-            "digest", "text", "font_size", "is_text_watermark", "is_color",
-            "sweeps"}
+            "digest", "sweeps"}
 
 
 def load_meta(path: str) -> Meta:
     """Load any image-mode meta (ours or reference-written)."""
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(_load_path(path), allow_pickle=False) as data:
         keys = set(data.files)
         mode = str(data["mode"]) if "mode" in keys else MODE_GRAY
         payload_type = (str(data["payload_type"])
@@ -234,6 +254,7 @@ def save_video_meta(path: str, m: VideoMeta) -> str:
     if m.text is not None:
         kw["text"] = m.text
         kw["font_size"] = int(m.font_size or 40)
+    path = _npz_path(path)
     np.savez(path, **kw)
     return path
 
@@ -246,12 +267,16 @@ def load_video_meta(path: str) -> VideoMeta:
     # error. A meta from an untrusted source therefore cannot execute
     # arbitrary code unless it genuinely is the legacy pickled format
     # (documented trust assumption: legacy metas need a trusted source).
-    data = np.load(path, allow_pickle=False)
-    try:
-        data = {k: data[k] for k in data.files}
-    except ValueError:
-        data = np.load(path, allow_pickle=True)
-        data = {k: data[k] for k in data.files}
+    path = _load_path(path)
+    legacy = False
+    with np.load(path, allow_pickle=False) as npz:
+        try:
+            data = {k: npz[k] for k in npz.files}
+        except ValueError:
+            legacy = True
+    if legacy:
+        with np.load(path, allow_pickle=True) as npz:
+            data = {k: npz[k] for k in npz.files}
     keys = set(data.keys())
     sv = data["original_singular_values"]
     is_color = bool(data["is_color"]) if "is_color" in keys else False

@@ -879,6 +879,7 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
         kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
         kw["digest"] = np.frombuffer(_digest(key, sc, uw, vwt),
                                      dtype=np.uint8)
+    meta_path = metaio._npz_path(meta_path)   # savez appends .npz itself
     np.savez_compressed(meta_path, **kw)
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 

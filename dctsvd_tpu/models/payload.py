@@ -45,6 +45,10 @@ def bytes_to_bitplane(data: bytes, h: int, w: int,
                       repeat: int = 1) -> np.ndarray:
     """bytes -> 0/255 uint8 [h, w] plane: 4-byte LE length ‖ payload bits,
     each bit replicated `repeat` times, zero-padded to h*w."""
+    if repeat < 1:
+        # np.repeat(bits, 0) would silently embed an all-zero plane (the
+        # payload vanishes with no error) and decode would divide by zero
+        raise ValueError(f"repeat must be >= 1, got {repeat}")
     header = len(data).to_bytes(HEADER_BYTES, "little")
     bits = np.unpackbits(np.frombuffer(header + data, np.uint8))
     bits = np.repeat(bits, repeat)
@@ -60,6 +64,8 @@ def bytes_to_bitplane(data: bytes, h: int, w: int,
 def bitplane_to_bytes(plane: np.ndarray, repeat: int = 1) -> bytes:
     """Inverse of :func:`bytes_to_bitplane` with majority vote over the
     repetition groups and threshold at 127."""
+    if repeat < 1:
+        raise ValueError(f"repeat must be >= 1, got {repeat}")
     flat = (plane.reshape(-1) > 127).astype(np.uint8)
     usable = flat[: (flat.size // repeat) * repeat]
     if repeat > 1:

@@ -223,6 +223,8 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                       resume: bool = False, segment_frames: int = 240):
     """Shared embed loop. Writes to out_path+temp_suffix (the with-audio
     variants remux afterwards).
+    meta_path is normalized up front (np.savez appends '.npz' itself) so
+    checkpoints, the resume loader and the returned path all agree.
 
     Marked frames batch into device dispatches of ``chunk`` (the streaming
     formulation of BASELINE config 4): frames buffer in arrival order, each
@@ -260,6 +262,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     alpha_d = jnp.float32(alpha)
 
     write_path = out_path + temp_suffix
+    meta_path = metaio._npz_path(meta_path)
     host_sig = _host_signature(host_path)
     frame_indices = []
     s_list = []

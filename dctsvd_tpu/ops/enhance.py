@@ -46,11 +46,18 @@ def gaussian_blur(x: jax.Array, sigma: float = 1.0,
                   ksize: int | None = None) -> jax.Array:
     """cv2.GaussianBlur(x, (0,0), sigma) equivalent on float [..., H, W].
 
-    cv2 auto-sizes the kernel as round(sigma*3)*2+1 for u8 inputs -> 7 for
-    sigma=1.0; reflect-101 borders.
+    cv2 auto-sizes the kernel as cvRound(sigma*3*2 + 1) | 1 for U8 inputs
+    (createGaussianFilter: factor 3 for CV_8U, 4 for float depths) -> 7
+    taps at sigma=1.0, 11 at sigma=1.5; cvRound is round-half-to-even
+    like Python's round().  This module follows the U8 contract — the
+    reference's enhancement chain blurs uint8 images
+    (app_dct_svd_single.py:94-96) — so a float-input cv2 call only
+    matches when passed this ksize explicitly.  The earlier
+    round(sigma*3)*2+1 form agreed only at sigma=1.0 (9 vs cv2's 11 taps
+    at sigma=1.5).  Reflect-101 borders.
     """
     if ksize is None:
-        ksize = int(round(sigma * 3)) * 2 + 1
+        ksize = int(round(sigma * 6 + 1)) | 1
     k = jnp.asarray(_gauss1d(ksize, sigma), jnp.float32)
     pad = ksize // 2
     *lead, h, w = x.shape
@@ -89,7 +96,13 @@ def clahe_u8(img_u8: jax.Array, tiles: int = 8,
     reflect-101 pad to a tile multiple, per-tile clipped/redistributed
     histograms, per-tile LUT = round(cdf * 255 / tile_area), bilinear
     interpolation between the four surrounding tile LUTs.
+    Leading batch dims map over the 2-D body (module contract).
     """
+    if img_u8.ndim > 2:
+        lead, hw = img_u8.shape[:-2], img_u8.shape[-2:]
+        out = jax.vmap(lambda p: clahe_u8.__wrapped__(p, tiles, clip_limit))(
+            img_u8.reshape((-1,) + hw))
+        return out.reshape(lead + hw)
     h, w = img_u8.shape[-2], img_u8.shape[-1]
     th = -(-h // tiles)
     tw = -(-w // tiles)

@@ -65,10 +65,18 @@ def _round_even(x: np.ndarray) -> np.ndarray:
     return np.round(x).astype(np.int64)
 
 
-def resize_area_u8(img_u8: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def resize_area_u8(img_u8: jax.Array, out_h: int, out_w: int,
+                   channels_last: bool | None = None) -> jax.Array:
     """Bit-exact cv2.resize(img, (out_w, out_h), INTER_AREA) for uint8
-    [..., H, W] or [..., H, W, C] inputs."""
-    chan = img_u8.ndim >= 3 and img_u8.shape[-1] <= 4
+    [..., H, W] or [..., H, W, C] inputs.
+
+    ``channels_last=None`` infers the layout like cv2 callers expect
+    (a trailing dim of <= 4 on a >=3-D array is a channel axis — the
+    C in {1, 3, 4} cases this framework produces). The inference CANNOT
+    distinguish e.g. a [B, H, 4] plane batch from an [H, W, 4] RGBA
+    image; pass ``channels_last`` explicitly for such shapes."""
+    chan = (img_u8.ndim >= 3 and img_u8.shape[-1] <= 4
+            if channels_last is None else channels_last)
     x = jnp.moveaxis(img_u8, -1, 0) if chan else img_u8
     h, w = x.shape[-2], x.shape[-1]
 
@@ -100,10 +108,13 @@ def resize_area_u8(img_u8: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return jnp.moveaxis(out, 0, -1) if chan else out
 
 
-def resize_area(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def resize_area(img: jax.Array, out_h: int, out_w: int,
+                channels_last: bool | None = None) -> jax.Array:
     """Float INTER_AREA resize of [..., H, W] or [..., H, W, C] arrays
-    (unquantized weights — for on-device float pipelines)."""
-    chan = img.ndim >= 3 and img.shape[-1] <= 4
+    (unquantized weights — for on-device float pipelines);
+    ``channels_last`` as in :func:`resize_area_u8`."""
+    chan = (img.ndim >= 3 and img.shape[-1] <= 4
+            if channels_last is None else channels_last)
     x = jnp.moveaxis(img, -1, 0) if chan else img
     h, w = x.shape[-2], x.shape[-1]
     xf = x.astype(jnp.float32)

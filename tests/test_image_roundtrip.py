@@ -194,3 +194,35 @@ def test_passwordless_embed_warns(tmp_path, cover, wm):
                   str(tmp_path / "m4.npz"), password=PW)
         api.embed_payload(cp, "x", str(tmp_path / "s5.png"),
                           str(tmp_path / "m5.npz"), password=api.OPEN_MODE)
+
+
+def test_meta_npz_suffix_and_extra_roundtrip(tmp_path):
+    """np.savez appends '.npz' to suffix-less paths: the savers must
+    return the REAL on-disk path and loaders accept either spelling; and
+    caller ``extra`` keys that collide with video-meta scalar names
+    ('text', 'font_size') must survive a save->load round trip instead of
+    being silently dropped (code-review r3)."""
+    import os
+    from dctsvd_tpu.io import meta as metaio
+    p = str(tmp_path / "img.meta")
+    ret = metaio.save_gray_meta(
+        p, sc=np.zeros(4, np.float32), uw=np.eye(4, dtype=np.float32),
+        vwt=np.eye(4, dtype=np.float32), sw=np.zeros(4, np.float32),
+        shape=(4, 4), alpha=0.1, kfrac=0.6, nonce=None, digest=None,
+        extra={"text": "hello", "font_size": 40})
+    assert ret.endswith(".npz") and os.path.exists(ret), ret
+    for load_from in (p, ret):
+        m = metaio.load_meta(load_from)
+        assert str(m.arrays["text"]) == "hello"
+        assert int(m.arrays["font_size"]) == 40
+
+    vp = str(tmp_path / "vid.ckpt")
+    vm = metaio.VideoMeta(
+        frame_indices=np.arange(2), s_orig=np.zeros((2, 4), np.float32),
+        uw=np.eye(4, dtype=np.float32), sw=np.zeros(4, np.float32),
+        vtw=np.eye(4, dtype=np.float32), alpha=0.05, frame_interval=5,
+        watermark_shape=(4, 4))
+    vret = metaio.save_video_meta(vp, vm)
+    assert vret.endswith(".npz") and os.path.exists(vret)
+    back = metaio.load_video_meta(vp)      # either spelling loads
+    assert back.frame_interval == 5

@@ -19,6 +19,15 @@ def test_bitplane_too_large():
         m_payload.bytes_to_bitplane(b"x" * 10000, 32, 32)
 
 
+def test_repeat_must_be_positive():
+    """repeat=0 used to silently embed an all-zero plane (payload lost
+    with no error) and crash with ZeroDivisionError at decode."""
+    with pytest.raises(ValueError, match="repeat"):
+        m_payload.bytes_to_bitplane(b"hi", 64, 64, repeat=0)
+    with pytest.raises(ValueError, match="repeat"):
+        m_payload.bitplane_to_bytes(np.zeros((64, 64), np.uint8), repeat=0)
+
+
 def test_majority_vote_corrects_errors():
     rng = np.random.default_rng(42)
     data = b"hello world"
