@@ -11,7 +11,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _default_meta(out_path: str) -> str:
+    """<out base>_meta.npz next to the output. os.path.splitext, not
+    rsplit('.', 1): a dotted DIRECTORY ('results.v2/stego') must not be
+    truncated into a sibling path."""
+    return os.path.splitext(out_path)[0] + "_meta.npz"
 
 
 def _add_common_embed(p):
@@ -86,7 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--font-size", type=int, default=40)
     p.add_argument("--color", action="store_true")
     p.add_argument("--audio", action="store_true",
-                   help="preserve audio via ffmpeg (graceful fallback)")
+                   help="preserve audio via ffmpeg (graceful fallback); "
+                        "implies the per-channel color embed (the "
+                        "reference only ships color with-audio variants)")
     p.add_argument("--scheme", choices=["full", "blocked"], default="full",
                    help="full = reference-parity whole-frame SVD; blocked "
                         "= fused 8x8 throughput path")
@@ -124,7 +134,7 @@ def main(argv=None) -> int:
 def _run(args) -> int:
     if args.cmd == "embed":
         from dctsvd_tpu import api
-        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        meta = args.meta or _default_meta(args.out)
         out, meta_p, ps, ss = api.embed(
             args.cover, args.watermark, args.out, meta, alpha=args.alpha,
             color=args.color, password=args.password, kfrac=args.kfrac,
@@ -149,7 +159,7 @@ def _run(args) -> int:
         if payload.startswith("@"):
             with open(payload[1:]) as f:
                 payload = json.load(f)
-        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        meta = args.meta or _default_meta(args.out)
         out, meta_p, ps, ss = api.embed_payload(
             args.cover, payload, args.out, meta, alpha=args.alpha,
             password=args.password, kfrac=args.kfrac, repeat=args.repeat,
@@ -163,31 +173,38 @@ def _run(args) -> int:
         print(json.dumps({"payload": got}))
     elif args.cmd == "video-embed":
         from dctsvd_tpu.models import video as m_video
-        meta = args.meta or args.out.rsplit(".", 1)[0] + "_meta.npz"
+        # validate the mode up front: cv2.imread(None) deep in the frame
+        # loop is an opaque crash, and silently preferring one of two
+        # given watermarks embeds something the user did not ask for
+        if bool(args.watermark) == bool(args.text):
+            print("error: video-embed needs exactly one of --watermark "
+                  "or --text", file=sys.stderr)
+            return 2
+        meta = args.meta or _default_meta(args.out)
         kw = dict(alpha=args.alpha, frame_interval=args.frame_interval,
                   scheme=args.scheme, resume=args.resume)
         if args.text and args.audio:
-            m_video.embed_text_watermark_video_color_with_audio(
+            res = m_video.embed_text_watermark_video_color_with_audio(
                 args.host, args.text, args.out, meta,
                 font_size=args.font_size, **kw)
         elif args.audio:
-            m_video.embed_watermark_video_color_with_audio(
+            res = m_video.embed_watermark_video_color_with_audio(
                 args.host, args.watermark, args.out, meta, **kw)
         elif args.text and args.color:
-            m_video.embed_text_watermark_video_color(
+            res = m_video.embed_text_watermark_video_color(
                 args.host, args.text, args.out, meta,
                 font_size=args.font_size, **kw)
         elif args.text:
-            m_video.embed_text_watermark_video(
+            res = m_video.embed_text_watermark_video(
                 args.host, args.text, args.out, meta,
                 font_size=args.font_size, **kw)
         elif args.color:
-            m_video.embed_watermark_video_color(
+            res = m_video.embed_watermark_video_color(
                 args.host, args.watermark, args.out, meta, **kw)
         else:
-            m_video.embed_watermark_video(
+            res = m_video.embed_watermark_video(
                 args.host, args.watermark, args.out, meta, **kw)
-        print(json.dumps({"video": args.out, "meta": meta}))
+        print(json.dumps({"video": res[0], "meta": res[1]}))
     elif args.cmd == "video-extract":
         from dctsvd_tpu.models import video as m_video
         meta = m_video.extract_text_watermark_video(args.video, args.meta,

@@ -26,7 +26,13 @@ def _render_pil(text: str, size, font_size: int):
         except Exception:
             continue
     if font is None:
-        font = ImageFont.load_default()
+        try:
+            # PIL >= 10.1 scales its built-in font; without the size the
+            # default bitmap font renders ~10 px regardless of font_size,
+            # silently producing a near-invisible mark at e.g. 120 px
+            font = ImageFont.load_default(size=font_size)
+        except TypeError:                          # older PIL
+            font = ImageFont.load_default()
     bbox = draw.textbbox((0, 0), text, font=font)
     tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
     draw.text(((w - tw) / 2 - bbox[0], (h - th) / 2 - bbox[1]), text,
@@ -46,9 +52,15 @@ def create_text_watermark(text: str, size, font_size: int = 40) -> np.ndarray:
         canvas = np.zeros((h, w), np.uint8)
         n = max(len(text), 1)
         cw = max(w // (n + 1), 1)
-        x = (w - n * cw) // 2
+        # clamp the origin to the canvas: for text wider than the canvas
+        # the centering offset goes negative, and negative slice STARTS
+        # wrap to the right edge — most of the mark silently vanished
+        x = max((w - n * cw) // 2, 0)
         y0, y1 = max(h // 2 - font_size // 2, 0), min(h // 2 + font_size // 2, h)
         for i, ch in enumerate(text):
+            x0 = x + i * cw
+            if x0 >= w:
+                break
             if not ch.isspace():
-                canvas[y0:y1, x + i * cw:x + i * cw + max(cw - 2, 1)] = 255
+                canvas[y0:y1, x0:min(x0 + max(cw - 2, 1), w)] = 255
         return canvas

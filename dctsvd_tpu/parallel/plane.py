@@ -10,10 +10,18 @@ needs one tiny all-gather of per-band scores for the global median.
 
 Implemented with ``shard_map`` (manual SPMD) because the fused Pallas
 kernels are custom calls XLA's automatic partitioner can't split.
+
+Compilation contract (same as parallel/batch.py): the shard_map+jit
+wrappers are built once per (mesh, statics) via a module-level cache —
+the round-2 form rebuilt fresh closures per call, so every frame
+retraced and recompiled the full fused graph, and it also baked alpha in
+as a constant (alpha is a traced replicated operand now, so alpha sweeps
+don't recompile either).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -32,11 +40,33 @@ from dctsvd_tpu.parallel import mesh as mesh_lib
 from dctsvd_tpu.utils.config import BLOCK
 
 
+def _batch_size(mesh: Mesh) -> int:
+    """Shards along the 'batch' axis — NOT mesh.devices.size, which also
+    counts a 'plane' axis on the 2-D mesh mesh.py reserves and would make
+    every band-size computation here wrong."""
+    return mesh.shape[mesh_lib.BATCH_AXIS]
+
+
 def _check_divisible(h: int, n: int):
     if h % (BLOCK * n) != 0:
         raise ValueError(
-            f"plane-sharded path needs H divisible by 8*n_devices "
+            f"plane-sharded path needs H divisible by 8*n_shards "
             f"({BLOCK * n}); pad the frame first (got H={h}).")
+
+
+def _embed_body(kfrac, cover_band, sw_band, alpha):
+    stego, sc, _, _ = blocked.embed_gray_prepared.__wrapped__(
+        cover_band, sw_band, alpha, kfrac=kfrac, with_metrics=False)
+    return stego, sc
+
+
+@functools.lru_cache(maxsize=32)
+def _embed_jit(mesh: Mesh, kfrac: float):
+    ax = mesh_lib.BATCH_AXIS
+    fn = shard_map(functools.partial(_embed_body, kfrac), mesh=mesh,
+                   in_specs=(P(ax), P(ax), P()),
+                   out_specs=(P(ax), P(ax)))
+    return jax.jit(fn)
 
 
 def plane_embed_gray(cover_bgr_u8: jax.Array, sw: jax.Array, alpha,
@@ -50,63 +80,59 @@ def plane_embed_gray(cover_bgr_u8: jax.Array, sw: jax.Array, alpha,
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    n = mesh.devices.size
-    _check_divisible(cover_bgr_u8.shape[0], n)
-    alpha = jnp.float32(alpha)
+    _check_divisible(cover_bgr_u8.shape[0], _batch_size(mesh))
+    return _embed_jit(mesh, kfrac)(cover_bgr_u8, sw, jnp.float32(alpha))
 
-    def body(cover_band, sw_band):
-        stego, sc, _, _ = blocked.embed_gray_prepared.__wrapped__(
-            cover_band, sw_band, alpha, kfrac=kfrac, with_metrics=False)
-        return stego, sc
 
+def _detect_body(grid, sweeps, stego_band, sc_band, sw_band, alpha):
+    from dctsvd_tpu.models.blocked import _plane_spectrum
+    from dctsvd_tpu.ops import color as c_ops
+    y = c_ops.luma_f32(stego_band)
+    s_cw = _plane_spectrum(y, sweeps)
+    sw_hat = (s_cw - sc_band) / jnp.maximum(alpha, 1e-8)
+    # local band scores; keep all of them rather than the local median
+    sw_b = jnp.broadcast_to(sw_band, sw_hat.shape)
+    hb_local = stego_band.shape[0] // BLOCK        # band dims, not global
+    wb = -(-stego_band.shape[1] // BLOCK)
+    g = max(1, min(grid, hb_local, wb))
+    gh, gw = hb_local // g, wb // g
+
+    def to_bands(x):
+        x = x.reshape(hb_local, wb, BLOCK)[:g * gh, :g * gw, :]
+        x = x.reshape(g, gh, g, gw, BLOCK)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(g * g, gh * gw * BLOCK)
+
+    bands = metrics.nc(to_bands(sw_b), to_bands(sw_hat))       # [g*g]
+    all_bands = jax.lax.all_gather(bands, mesh_lib.BATCH_AXIS)  # [n, g*g]
+    return jnp.median(all_bands.reshape(-1))
+
+
+@functools.lru_cache(maxsize=32)
+def _detect_jit(mesh: Mesh, grid: int, sweeps: Optional[int]):
     ax = mesh_lib.BATCH_AXIS
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(ax), P(ax)),
-                   out_specs=(P(ax), P(ax)))
-    return jax.jit(fn)(cover_bgr_u8, sw)
+    # the all_gather+median output is replicated by construction, but the
+    # static varying-axes checker can't prove it — disable the check
+    # (named check_rep before JAX 0.8, check_vma after)
+    fn = shard_map(functools.partial(_detect_body, grid, sweeps),
+                   mesh=mesh,
+                   in_specs=(P(ax), P(ax), P(ax), P()),
+                   out_specs=P(), **{_CHECK_REP_KW: False})
+    return jax.jit(fn)
 
 
 def plane_detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array, sw: jax.Array,
                       alpha, grid: int = 2,
-                      mesh: Optional[Mesh] = None) -> jax.Array:
+                      mesh: Optional[Mesh] = None,
+                      sweeps: Optional[int] = None) -> jax.Array:
     """Band-NC detection over a plane-sharded frame: each chip scores a
     ``grid × grid`` sub-grid of its band, one all-gather of the
-    n·grid² band scores, global median (replicated scalar)."""
+    n·grid² band scores, global median (replicated scalar). ``sweeps``
+    replays the embed-time Jacobi schedule (``meta.sweeps`` — same
+    contract as blocked._plane_spectrum; detection of a persisted sc
+    under a different backend/schedule silently degrades without it)."""
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    n = mesh.devices.size
-    h, w = stego_bgr_u8.shape[0], stego_bgr_u8.shape[1]
-    _check_divisible(h, n)
-    alpha_d = jnp.float32(alpha)
-    hb_local = h // BLOCK // n
-    wb = -(-w // BLOCK)
-    ax = mesh_lib.BATCH_AXIS
-
-    def body(stego_band, sc_band, sw_band):
-        from dctsvd_tpu.models.blocked import _plane_spectrum
-        from dctsvd_tpu.ops import color as c_ops
-        y = c_ops.luma_f32(stego_band)
-        s_cw = _plane_spectrum(y)
-        sw_hat = (s_cw - sc_band) / jnp.maximum(alpha_d, 1e-8)
-        # local band scores; keep all of them rather than the local median
-        sw_b = jnp.broadcast_to(sw_band, sw_hat.shape)
-        g = max(1, min(grid, hb_local, wb))
-        gh, gw = hb_local // g, wb // g
-
-        def to_bands(x):
-            x = x.reshape(hb_local, wb, BLOCK)[:g * gh, :g * gw, :]
-            x = x.reshape(g, gh, g, gw, BLOCK)
-            x = jnp.swapaxes(x, 1, 2)
-            return x.reshape(g * g, gh * gw * BLOCK)
-
-        bands = metrics.nc(to_bands(sw_b), to_bands(sw_hat))   # [g*g]
-        all_bands = jax.lax.all_gather(bands, ax)              # [n, g*g]
-        return jnp.median(all_bands.reshape(-1))
-
-    # the all_gather+median output is replicated by construction, but the
-    # static varying-axes checker can't prove it — disable the check
-    # (named check_rep before JAX 0.8, check_vma after)
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(ax), P(ax), P(ax)),
-                   out_specs=P(), **{_CHECK_REP_KW: False})
-    return jax.jit(fn)(stego_bgr_u8, sc, sw)
+    _check_divisible(stego_bgr_u8.shape[0], _batch_size(mesh))
+    return _detect_jit(mesh, grid, sweeps)(stego_bgr_u8, sc, sw,
+                                           jnp.float32(alpha))

@@ -80,3 +80,56 @@ def test_cli_video(tmp_path, imgs, capsys, rng):
     rc = cli.main(["video-detect", clip, "--sample-rate", "4"])
     det = json.loads(capsys.readouterr().out)
     assert "watermark_likelihood" in det
+
+
+def test_cli_video_embed_requires_watermark_or_text(tmp_path, capsys):
+    """Neither or both of --watermark/--text is a usage error (rc 2), not
+    an opaque cv2 crash deep in the frame loop (code-review r3)."""
+    rc = cli.main(["video-embed", str(tmp_path / "host.mp4"),
+                   "--out", str(tmp_path / "o.mp4")])
+    assert rc == 2
+    assert "exactly one of" in capsys.readouterr().err
+    rc = cli.main(["video-embed", str(tmp_path / "host.mp4"),
+                   "--watermark", "w.png", "--text", "hi",
+                   "--out", str(tmp_path / "o.mp4")])
+    assert rc == 2
+
+
+def test_cli_default_meta_in_dotted_dir(tmp_path, imgs, capsys):
+    """rsplit('.') on the whole path used to drop a dotted DIRECTORY
+    ('results.v2/stego' -> sibling 'results_meta.npz')."""
+    import os
+    cp, wp = imgs
+    d = tmp_path / "results.v2"
+    d.mkdir()
+    out = str(d / "stego.png")
+    rc = cli.main(["embed", cp, wp, "--out", out, "--password", "pw",
+                   "--method", "blocked"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert os.path.dirname(res["meta"]) == str(d)
+    assert os.path.exists(res["meta"])
+
+
+def test_text_fallback_clamps_wide_text():
+    """The no-PIL rasterizer must clamp, not wrap, when the text is wider
+    than the canvas (negative slice starts painted at the right edge and
+    dropped most characters)."""
+    from dctsvd_tpu.models import text as m_text
+    w, h = 16, 16
+    n = 20
+    canvas = None
+    # drive the fallback directly: simulate PIL absence via monkey-free
+    # call of the except-branch logic by invoking with a size the PIL
+    # path also handles, then force the fallback through a bad font_size
+    # type is intrusive — instead call the module's fallback by blocking
+    # _render_pil
+    orig = m_text._render_pil
+    m_text._render_pil = lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
+    try:
+        canvas = m_text.create_text_watermark("A" * n, (w, h), font_size=8)
+    finally:
+        m_text._render_pil = orig
+    assert canvas.shape == (h, w)
+    assert canvas.sum() > 0          # something rendered
+    assert canvas[:, :w // 2].sum() > 0   # starts at the LEFT, not wrapped
