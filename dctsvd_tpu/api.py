@@ -134,16 +134,20 @@ def extract(stego_path: str, meta_path: str, out_path: str,
     if meta.digest is not None:
         crypto.require_password(password)
         key = crypto.derive_key(password, meta.nonce)
-        idx = crypto.permutation_indices(key, h * w)
     else:
         key = None
-        idx = np.arange(h * w)
-    inv = crypto.inverse_permutation(idx)
 
     if meta.is_blocked:
+        # the blocked scheme derives its own (block, intra) indices —
+        # the O(H*W) full-plane Fisher–Yates below is exactly the host
+        # cost the blocked embed exists to avoid (hundreds of ms at 4K)
         from dctsvd_tpu.models import blocked as m_blocked
         return m_blocked.extract_paths(stego, meta, out_path, key,
                                        normalize=normalize, enhance=enhance)
+
+    idx = (crypto.permutation_indices(key, h * w) if key is not None
+           else np.arange(h * w))
+    inv = crypto.inverse_permutation(idx)
 
     uw, vwt, _sw = meta.wm_basis_stacked()
     s_cover = meta.s_cover_stacked()

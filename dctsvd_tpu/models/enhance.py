@@ -43,7 +43,12 @@ def enhance_color_u8(x: jax.Array, denoise: bool = True) -> jax.Array:
     ycc = c_ops.bgr_to_ycrcb(x)
     y = e_ops.clahe_u8.__wrapped__(ycc[..., 0], tiles=8, clip_limit=2.0)
     x = c_ops.ycrcb_to_bgr(ycc.at[..., 0].set(y))
-    return e_ops.unsharp_u8(x, 1.15, -0.15, sigma=1.0)
+    # channel-FIRST for the unsharp: gaussian_blur convolves the last two
+    # axes, so feeding [H, W, 3] directly blurred width x CHANNELS (a
+    # 7-tap kernel across B/G/R) and never blurred vertically
+    x = jnp.moveaxis(x, -1, -3)
+    x = e_ops.unsharp_u8(x, 1.15, -0.15, sigma=1.0)
+    return jnp.moveaxis(x, -3, -1)
 
 
 def enhance_gray_np(img_u8: np.ndarray, denoise: bool = True) -> np.ndarray:
@@ -63,4 +68,6 @@ def enhance_color_np(img_bgr_u8: np.ndarray,
     try:
         return to_numpy(enhance_color_u8(x, denoise=denoise))
     except Exception:
-        return to_numpy(e_ops.unsharp_u8(x, 1.15, -0.15, sigma=1.0))
+        x = jnp.moveaxis(x, -1, -3)        # channel-first (see above)
+        sharp = e_ops.unsharp_u8(x, 1.15, -0.15, sigma=1.0)
+        return to_numpy(jnp.moveaxis(sharp, -3, -1))

@@ -77,18 +77,11 @@ def _embed_frame_gray(gray: jax.Array, sw: jax.Array, alpha: jax.Array):
     return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
 
 
-@jax.jit
-def _embed_frame_color(bgr: jax.Array, sw: jax.Array, alpha: jax.Array):
-    """[..., 3, H, W] channel-first color frame(s); the same grayscale
-    watermark SVs are embedded into every channel (ref:
-    color_video_dct_svd.pyc l.58-162). u8-in like _embed_frame_gray."""
-    c = dct.dct2(bgr.astype(jnp.float32))
-    u, s, vt = svd.svd_full(c)
-    s_marked = s + alpha * sw
-    cw = jnp.einsum("...ij,...j,...jk->...ik", u, s_marked, vt,
-                    precision=jax.lax.Precision.HIGHEST)
-    marked = dct.idct2(cw)
-    return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
+# [..., 3, H, W] channel-first color frames: the same grayscale watermark
+# SVs embed into every channel (ref: color_video_dct_svd.pyc l.58-162),
+# which is exactly _embed_frame_gray's broadcast over the leading axes —
+# an alias, not a byte-identical copy paying its own trace/compile.
+_embed_frame_color = _embed_frame_gray
 
 
 @jax.jit
@@ -117,19 +110,6 @@ def _embed_frame_gray_blocked(gray: jax.Array, sw: jax.Array,
     """[..., H, W] gray frame(s) through the fused blocked embed.
     Returns (marked_u8, per-block original S [..., N, 8]). u8-in."""
     marked, s = m_blocked._embed_planes(gray, sw, alpha, kfrac,
-                                        out_u8=True)
-    if marked.dtype == jnp.uint8:
-        return marked, s
-    return jnp.clip(marked, 0, 255).astype(jnp.uint8), s
-
-
-@functools.partial(jax.jit, static_argnames=("kfrac",))
-def _embed_frame_color_blocked(bgr: jax.Array, sw: jax.Array,
-                               alpha: jax.Array,
-                               kfrac: float = K_FRAC_DEFAULT):
-    """[..., 3, H, W] channel-first color frame(s); the same grayscale
-    watermark block-SVs spread into every channel. u8-in."""
-    marked, s = m_blocked._embed_planes(bgr, sw, alpha, kfrac,
                                         out_u8=True)
     if marked.dtype == jnp.uint8:
         return marked, s
@@ -469,7 +449,12 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                             slot_counter += 1
                             if len(pending) >= chunk:
                                 _submit()      # async: don't block writes
-                                _pump(enc)
+                                # same backpressure as the passthrough
+                                # branch: at frame_interval=1 EVERY frame
+                                # lands here, and without the wait the
+                                # buffer + executor queue grow by the
+                                # decode/device rate delta until OOM
+                                _pump(enc, wait=len(buf) >= max_buffered)
                         elif pending or buf:
                             buf.append(("pass", frame))
                             _pump(enc, wait=len(buf) >= max_buffered)

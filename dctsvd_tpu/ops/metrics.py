@@ -16,45 +16,37 @@ leading batch dims and are shard_map-friendly (pure elementwise + reductions).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def psnr(a: jax.Array, b: jax.Array) -> jax.Array:
+def psnr(a: jax.Array, b: jax.Array,
+         image_ndim: int | None = None) -> jax.Array:
+    """Per-image PSNR over leading batch dims (the module contract —
+    pooling the whole batch into one scalar averaged bad frames away and
+    made the with_metrics result shape diverge from ssim's).
+
+    ``image_ndim``: trailing axes forming ONE image. Default: 3 when the
+    trailing dim looks like a channel axis (<= 4 on a >= 3-D input,
+    matching ops/resize's documented heuristic), else 2 — pass it
+    explicitly for shapes the heuristic cannot distinguish
+    (e.g. a [B, H, 4] plane batch)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    mse = jnp.mean((a - b) ** 2)
+    if image_ndim is None:
+        image_ndim = 3 if (a.ndim >= 3 and a.shape[-1] <= 4) else 2
+    axes = tuple(range(a.ndim - min(image_ndim, a.ndim), a.ndim))
+    mse = jnp.mean((a - b) ** 2, axis=axes)
     val = 20.0 * jnp.log10(255.0 / jnp.maximum(jnp.sqrt(mse), 1e-12))
     return jnp.where(mse <= 1e-12, jnp.float32(99.0), val)
 
 
-@functools.lru_cache(maxsize=8)
-def _gauss_kernel_np(ksize: int, sigma: float) -> np.ndarray:
-    """cv2.getGaussianKernel equivalent (float64, normalized)."""
-    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
-    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / k.sum()
-
-
-def _gaussian_blur(x: jax.Array, ksize: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Separable Gaussian blur with reflect-101 borders, matching
-    cv2.GaussianBlur's defaults. x: [..., H, W] float32."""
-    k = jnp.asarray(_gauss_kernel_np(ksize, sigma), jnp.float32)
-    pad = ksize // 2
-    *lead, h, w = x.shape
-    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(pad, pad), (pad, pad)],
-                 mode="reflect")
-    # separable conv as k static shifted adds (k is tiny; XLA fuses these)
-    y = jnp.zeros_like(xp[..., pad:pad + h, :])
-    for i in range(ksize):
-        y = y + k[i] * xp[..., i:i + h, :]
-    z = jnp.zeros(x.shape, x.dtype)
-    for i in range(ksize):
-        z = z + k[i] * y[..., i:i + w]
-    return z
+def _gaussian_blur(x: jax.Array, ksize: int = 11,
+                   sigma: float = 1.5) -> jax.Array:
+    """SSIM's 11x11 sigma=1.5 window — ops/enhance.gaussian_blur with the
+    size pinned (one blur implementation to keep cv2-matched, not two)."""
+    from dctsvd_tpu.ops import enhance as e_ops
+    return e_ops.gaussian_blur(x, sigma=sigma, ksize=ksize)
 
 
 def ssim(img1: jax.Array, img2: jax.Array) -> jax.Array:

@@ -82,7 +82,12 @@ def jacobi_svd(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
     if not impl or impl == "auto":
         impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
                 else "xla")
-    if impl == "pallas" and sort_descending:
+    # The Pallas kernel's ordering network (svd_pallas._SORT_NET) is built
+    # for exactly n == 8: larger n would return S silently UNSORTED past
+    # index 7 and smaller n would IndexError at trace time — either way a
+    # contract break ("S sorted descending" for any n <= 32). Other sizes
+    # take the XLA formulation, which sorts for arbitrary n.
+    if impl == "pallas" and sort_descending and a.shape[-1] == 8:
         from dctsvd_tpu.ops.svd_pallas import jacobi_svd_pallas
         return jacobi_svd_pallas(a, sweeps=sweeps, compute_uv=compute_uv)
     return _jacobi_svd_xla(a, sweeps=sweeps, compute_uv=compute_uv,

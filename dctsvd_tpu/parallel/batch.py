@@ -139,7 +139,9 @@ def _embed_full_meta_jit(mesh: Mesh, kfrac: float):
     bs = mesh_lib.batch_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
     out_sh = {"stego": bs, "sc": bs, "uw": rep, "vwt": rep, "sw": rep,
-              "psnr": rep, "ssim": rep}
+              # per-frame metrics shard with their frames (psnr was a
+              # batch-pooled scalar before the metrics.py per-image fix)
+              "psnr": bs, "ssim": bs}
     return jax.jit(functools.partial(_embed_full_meta_body, kfrac),
                    in_shardings=(bs, rep, rep, rep, rep),
                    out_shardings=out_sh)

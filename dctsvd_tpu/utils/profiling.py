@@ -72,7 +72,19 @@ class StageTimer:
         finally:
             if sync:
                 try:
-                    jax.effects_barrier()
+                    # jax.effects_barrier() only awaits runtime-token
+                    # EFFECTS (debug/io callbacks), not ordinarily
+                    # dispatched pure jits — it was a no-op here and
+                    # stages recorded ~0 ms with the device time charged
+                    # to whichever later stage first blocked. The device
+                    # executes its queue in order, so blocking on a
+                    # trivial computation enqueued NOW flushes all prior
+                    # async work. (On remotely-attached chips even this
+                    # can under-block — bench.py chains a device-side
+                    # accumulator for that reason; per-stage numbers
+                    # there are indicative, not exact.)
+                    jax.block_until_ready(
+                        jax.numpy.zeros(()) + jax.numpy.float32(0))
                 except Exception:
                     pass
             dt = time.perf_counter() - t0

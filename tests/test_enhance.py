@@ -105,3 +105,26 @@ def test_enhance_chains(rng):
     # NLM seeds tiny differences that CLAHE can amplify locally; the chains
     # must still agree closely in the mean
     assert np.abs(out.astype(float) - ref.astype(float)).mean() < 4.0
+
+
+def test_color_enhance_unsharp_is_spatial_per_channel(rng):
+    """The color chain's unsharp must blur spatially per channel like
+    cv2 — it used to feed [H, W, 3] straight into gaussian_blur, which
+    convolves the last two axes (a 7-tap kernel ACROSS B/G/R, no
+    vertical blur at all; code-review r3). Denoise off isolates
+    CLAHE-on-Y + unsharp, both cv2-composable."""
+    import jax.numpy as jnp
+    rgb = np.stack([_host(rng, (96, 96)), _host(rng, (96, 96)),
+                    _host(rng, (96, 96))], axis=-1)
+    out = np.asarray(m_enhance.enhance_color_u8(jnp.asarray(rgb),
+                                                denoise=False))
+    ycc = cv2.cvtColor(rgb, cv2.COLOR_BGR2YCrCb)
+    ycc[..., 0] = cv2.createCLAHE(
+        clipLimit=2.0, tileGridSize=(8, 8)).apply(ycc[..., 0])
+    ref = cv2.cvtColor(ycc, cv2.COLOR_YCrCb2BGR)
+    blur = cv2.GaussianBlur(ref, (0, 0), 1.0)
+    ref = np.clip(cv2.addWeighted(ref, 1.15, blur, -0.15, 0), 0, 255)
+    d = np.abs(out.astype(float) - ref.astype(float))
+    # CLAHE/LUT edges differ by <=1 before the +-0.15-weighted blur;
+    # cross-channel bleeding (the old bug) produced mean diffs > 2
+    assert d.mean() < 0.5 and d.max() <= 6, (d.mean(), d.max())
