@@ -140,7 +140,11 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
             dt = time.time() - t0
             log(f"serve+verify rep{rep}: {dt:.3f}s for {batch * iters} "
                 f"frames ({batch * iters / dt:.1f} fps)")
-            fps = max(fps, batch * iters / dt)
+            # informational only: the headline metric stays the SPLIT
+            # embed->extract pipeline it is labeled as (mixing in the
+            # fused single-dispatch path via max() would make the JSON
+            # artifact unreproducible from the documented entry points;
+            # the two measured equal on v5e anyway)
     return fps
 
 
@@ -165,13 +169,20 @@ def bench_detect(h=1080, w=1920, batch=16, iters=32):
     acc = jnp.float32(0.0)
     acc = step(stego, sc, pw.sw, alpha, acc)
     _ = float(acc)
-    t0 = time.time()
-    for _ in range(iters):
-        acc = step(stego, sc, pw.sw, alpha, acc)
-    mean_score = float(acc) / (batch * (iters + 1))
-    dt = time.time() - t0
-    log(f"detect steady-state: {dt:.3f}s, mean score {mean_score:.4f}")
-    return batch * iters / dt
+    # two reps, best-of, like bench_embed_extract: the ~1.2 s fixed
+    # tunnel/queue ramp lands between warmup and the FIRST chain and
+    # would otherwise inflate the single measured chain by 30-60%
+    fps = 0.0
+    for rep in range(2):
+        acc = jnp.float32(0.0)
+        t0 = time.time()
+        for _ in range(iters):
+            acc = step(stego, sc, pw.sw, alpha, acc)
+        mean_score = float(acc) / (batch * iters)
+        dt = time.time() - t0
+        log(f"detect rep{rep}: {dt:.3f}s, mean score {mean_score:.4f}")
+        fps = max(fps, batch * iters / dt)
+    return fps
 
 
 def bench_video(frames=150, h=1080, w=1920, interval=10, scheme="blocked"):
@@ -216,7 +227,7 @@ def bench_video(frames=150, h=1080, w=1920, interval=10, scheme="blocked"):
                                   frame_interval=interval, scheme=scheme)
     dt = time.time() - t0
     log(f"video embed: {dt:.1f}s for {frames} frames "
-        f"({frames // interval + 1} marked)")
+        f"({-(-frames // interval)} marked)")
     return frames / dt
 
 
@@ -485,8 +496,11 @@ def main():
                       "ratio vs single device at fixed total batch (1.0 = "
                       "zero sharding overhead; virtual devices share one "
                       "physical core, so real scaling needs real chips)",
-            "value": round(fpsn / fps1, 2), "unit": "x",
-            "vs_baseline": round(fpsn / fps1, 2)}))
+            # fps1/fpsn == tn/t1, the wall-time ratio the label promises
+            # (the old fpsn/fps1 had the OPPOSITE sign: 25% overhead read
+            # as "20% faster"); > 1.0 means the sharded program is slower
+            "value": round(fps1 / fpsn, 2), "unit": "x",
+            "vs_baseline": round(fps1 / fpsn, 2)}))
     elif args.config == "video":
         fps = bench_video(scheme=args.scheme)
         ref_fps = 10 / 3.45      # interval=10, 3.45 s/marked frame on CPU

@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+from dctsvd_tpu.utils.config import (
+    ALPHA_GUI_DEFAULT, ALPHA_VIDEO_DEFAULT, DETECT_THRESH_DEFAULT,
+    FONT_SIZE_DEFAULT, FRAME_INTERVAL_DEFAULT, K_FRAC_DEFAULT)
+
 
 def _default_meta(out_path: str) -> str:
     """<out base>_meta.npz next to the output. os.path.splitext, not
@@ -23,10 +27,10 @@ def _default_meta(out_path: str) -> str:
 
 
 def _add_common_embed(p):
-    p.add_argument("--alpha", type=float, default=0.12,
+    p.add_argument("--alpha", type=float, default=ALPHA_GUI_DEFAULT,
                    help="embedding strength (GUI default 0.12; "
                         "recommended 0.10-0.18 gray, 0.15-0.22 color)")
-    p.add_argument("--kfrac", type=float, default=0.6)
+    p.add_argument("--kfrac", type=float, default=K_FRAC_DEFAULT)
     p.add_argument("--password", required=False)
     p.add_argument("--method", choices=["full", "blocked"], default="full",
                    help="full = reference-parity whole-frame DCT+SVD; "
@@ -68,7 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("detect", help="no-password NC detection")
     p.add_argument("stego")
     p.add_argument("meta")
-    p.add_argument("--thresh", type=float, default=0.6)
+    p.add_argument("--thresh", type=float,
+                   default=DETECT_THRESH_DEFAULT)
 
     p = sub.add_parser("embed-payload", help="embed text/JSON payload")
     p.add_argument("cover")
@@ -89,9 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text", help="text watermark instead of an image")
     p.add_argument("--out", default="marked.mp4")
     p.add_argument("--meta", default=None)
-    p.add_argument("--alpha", type=float, default=0.05)
-    p.add_argument("--frame-interval", type=int, default=10)
-    p.add_argument("--font-size", type=int, default=40)
+    p.add_argument("--alpha", type=float, default=ALPHA_VIDEO_DEFAULT)
+    p.add_argument("--frame-interval", type=int,
+                   default=FRAME_INTERVAL_DEFAULT)
+    p.add_argument("--font-size", type=int, default=FONT_SIZE_DEFAULT)
     p.add_argument("--color", action="store_true")
     p.add_argument("--audio", action="store_true",
                    help="preserve audio via ffmpeg (graceful fallback); "
