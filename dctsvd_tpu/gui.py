@@ -54,6 +54,12 @@ def handle_embed(cover: str, wm: str, out: str, password: str,
     if not cover or not wm:
         return HandlerResult(False, "ERROR: choose a host image and a "
                              "watermark first.")
+    # the spinbox advertises 0.01-0.30 but ttk does not clamp TYPED text:
+    # alpha=0 embeds nothing behind a success message, alpha>>0.3 wrecks
+    # the host — validate here so the pure handler owns the contract
+    if not (0.005 <= float(alpha) <= 0.5):
+        return HandlerResult(False, f"ERROR: alpha {alpha} out of range "
+                             "(use 0.01-0.30).")
     try:
         from dctsvd_tpu import api
         outp = out or "stego.png"

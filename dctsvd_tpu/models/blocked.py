@@ -133,16 +133,31 @@ def replay_sweeps(meta_sweeps: int) -> int:
     return meta_sweeps if meta_sweeps > 0 else wm_pallas._SWEEPS_DEFAULT
 
 
+_USE_FUSED_MEMO: list = []
+
+
 def _use_fused() -> bool:
     """Fused Pallas kernels (ops/wm_pallas.py) on TPU backends; the XLA
-    composition elsewhere (CPU tests, interpret-free portability)."""
-    import os
-    env = os.environ.get("DCTSVD_FUSED", "")
-    if env in ("0", "false"):
-        return False
-    if env in ("1", "true"):
-        return True
-    return jax.default_backend() in ("tpu", "axon")
+    composition elsewhere (CPU tests, interpret-free portability).
+
+    Decided ONCE per process: jit traces bake the branch in at first
+    trace and replay it from the executable cache regardless of later
+    env flips, so re-reading the env here could disagree with what the
+    cached executables actually run — embed_sweeps_used() would then
+    record the wrong schedule in the meta (the silent un-cancelled
+    residual failure the sweep comments describe). Flip DCTSVD_FUSED
+    only via a fresh process."""
+    if not _USE_FUSED_MEMO:
+        import os
+        env = os.environ.get("DCTSVD_FUSED", "").strip().lower()
+        if env in ("0", "false", "no", "off"):
+            _USE_FUSED_MEMO.append(False)
+        elif env in ("1", "true", "yes", "on"):
+            _USE_FUSED_MEMO.append(True)
+        else:
+            _USE_FUSED_MEMO.append(
+                jax.default_backend() in ("tpu", "axon"))
+    return _USE_FUSED_MEMO[0]
 
 
 def _plane_to_svd_blocks(plane: jax.Array, compute_uv: bool = True):
@@ -827,9 +842,22 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
-            vwt: np.ndarray) -> bytes:
+            vwt: np.ndarray, sw: np.ndarray, *, mode: str, alpha: float,
+            kfrac: float, sweeps: int, shape) -> bytes:
+    """Blocked-meta HMAC. Unlike the parity modes (whose coverage is
+    pinned to the reference's Sc/Uw/Vwt order — io/meta.py docstring),
+    the blocked scheme is this framework's own mode tag, so it
+    authenticates EVERYTHING extraction consumes: a tampered Sw used to
+    blank the output via the clamp, a flipped sweeps count silently
+    broke the residual cancellation, and an edited alpha rescaled the
+    result — all behind a passing digest check."""
+    import struct
+    scalars = (mode.encode() + struct.pack(
+        "<ddqqq", float(alpha), float(kfrac), int(sweeps),
+        int(shape[0]), int(shape[1])))
     return crypto.meta_digest(
-        key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
+        key, [sc.tobytes(), uw.tobytes(), vwt.tobytes(), sw.tobytes(),
+              scalars])
 
 
 def _indices(key, h: int, w: int):
@@ -868,17 +896,20 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     sw = np.asarray(res.sw)
     out_path = metaio.default_stego_path(out_path)
     image_io.write_png(out_path, to_numpy(res.stego_bgr))
+    sweeps = embed_sweeps_used()
     kw = dict(mode=mode, payload_type=payload_type,
               Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
               shape=np.asarray((h, w)), alpha=float(alpha),
               kfrac=float(kfrac), block=BLOCK,
-              sweeps=embed_sweeps_used())
+              sweeps=sweeps)
     if extra_meta:
         kw.update(extra_meta)
     if key is not None:
         kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
-        kw["digest"] = np.frombuffer(_digest(key, sc, uw, vwt),
-                                     dtype=np.uint8)
+        kw["digest"] = np.frombuffer(
+            _digest(key, sc, uw, vwt, sw, mode=mode, alpha=float(alpha),
+                    kfrac=float(kfrac), sweeps=sweeps, shape=(h, w)),
+            dtype=np.uint8)
     meta_path = metaio._npz_path(meta_path)   # savez appends .npz itself
     np.savez_compressed(meta_path, **kw)
     return out_path, meta_path, float(res.psnr), float(res.ssim)
@@ -894,7 +925,10 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
     if meta.digest is not None:
         if key is None:
             raise ValueError("This meta requires a password.")
-        expected = _digest(key, sc, uw, vwt)
+        expected = _digest(key, sc, uw, vwt, meta.arrays["Sw"],
+                           mode=meta.mode, alpha=float(meta.alpha),
+                           kfrac=float(meta.kfrac),
+                           sweeps=int(meta.sweeps), shape=(h, w))
         if not crypto.digests_equal(expected, meta.digest):
             raise ValueError("Wrong password or corrupted meta "
                              "(HMAC verification failed).")

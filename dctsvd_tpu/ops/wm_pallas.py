@@ -497,6 +497,21 @@ def _rows_per_cell_gram(hb: int, wb: int) -> int:
     return best
 
 
+def _resolve_rows(rows, hb: int, wb: int, gram: bool = False) -> int:
+    """Row tile, validated: the grid is (p, hb // r), so an explicit
+    ``rows`` that does not divide hb would simply never visit the last
+    hb % r block rows — uninitialized bytes in the marked plane /
+    spectrum output, with no error. The auto-pickers only return
+    divisors; this guards the explicit kwarg (tools, tests)."""
+    r = rows or (_rows_per_cell_gram(hb, wb) if gram
+                 else _rows_per_cell(hb, wb))
+    if hb % r:
+        raise ValueError(
+            f"rows={r} must divide the block-row count hb={hb} "
+            f"(remainder {hb % r} block rows would never be computed)")
+    return r
+
+
 def _plane_cols_view(planes: jax.Array):
     """[..., H, W] f32 -> [P, Hb, 8(row), 8(col), Wb].
 
@@ -624,7 +639,7 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
     c = sws_scaled.shape[0]
     sws_v = jnp.transpose(sws_scaled.reshape(c * hb, wb, B),
                           (0, 2, 1)).reshape(c, hb, B, wb)
-    r = rows or _rows_per_cell(hb, wb)
+    r = _resolve_rows(rows, hb, wb)
 
     grid = (p, hb // r)
     if out_u8 and variant != "delta":
@@ -695,7 +710,7 @@ def roundtrip_frames_blocks(frames: jax.Array, sws_scaled: jax.Array,
     c = sws_scaled.shape[0]
     sws_v = jnp.transpose(sws_scaled.reshape(c * hb, wb, B),
                           (0, 2, 1)).reshape(c, hb, B, wb)
-    r = rows or _rows_per_cell(hb, wb)
+    r = _resolve_rows(rows, hb, wb)
     grid = (p, hb // r)
     marked_v, sc, s = pl.pallas_call(
         _make_embed_verify_kernel(sweeps, k), grid=grid,
@@ -758,10 +773,10 @@ def spectrum_plane_blocks(planes: jax.Array,
         view, lead, hb, wb = _plane_cols_view(planes)
     p = view.shape[0]
     if method == "gram":
-        r = rows or _rows_per_cell_gram(hb, wb)
+        r = _resolve_rows(rows, hb, wb, gram=True)
         kernel = _make_spectrum_gram_kernel(sweeps)
     else:
-        r = rows or _rows_per_cell(hb, wb)
+        r = _resolve_rows(rows, hb, wb)
         kernel = _make_spectrum_kernel(sweeps, bf16)
     grid = (p, hb // r)
     s = pl.pallas_call(

@@ -27,11 +27,19 @@ PLANE_AXIS = "plane"
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize passthrough for multi-host pods."""
+    """jax.distributed.initialize passthrough for multi-host pods.
+
+    Every given argument is forwarded — an explicit pod topology without
+    a coordinator address (env-provided) used to be silently DROPPED,
+    letting the process auto-detect into the wrong process_id instead of
+    failing fast."""
     kw = {}
     if coordinator is not None:
-        kw = dict(coordinator_address=coordinator,
-                  num_processes=num_processes, process_id=process_id)
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
     jax.distributed.initialize(**kw)
 
 
@@ -42,6 +50,12 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # devices[:n] would silently build a SMALLER mesh and report
+            # n-device numbers measured on fewer chips
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     devs = np.asarray(devices)
     if plane > 1:

@@ -92,3 +92,14 @@ def test_preview_ppm_bytes(images):
     assert len(rest) == int(w) * int(h) * 3
     with pytest.raises(ValueError):
         gui.preview_ppm_bytes("/nonexistent.png")
+
+
+def test_handle_embed_rejects_out_of_range_alpha(tmp_path):
+    """ttk spinboxes do not clamp typed text: alpha=0 would embed
+    nothing behind a success message; the pure handler owns the range
+    contract (code-review r3)."""
+    from dctsvd_tpu import gui
+    for bad in (0.0, 3.0, -0.1):
+        r = gui.handle_embed("c.png", "w.png", "", password="pw",
+                             alpha=bad, color=False, blocked=False)
+        assert not r.ok and "alpha" in r.message

@@ -226,3 +226,39 @@ def test_meta_npz_suffix_and_extra_roundtrip(tmp_path):
     assert vret.endswith(".npz") and os.path.exists(vret)
     back = metaio.load_video_meta(vp)      # either spelling loads
     assert back.frame_interval == 5
+
+
+def test_blocked_meta_tamper_rejected(tmp_path, cover, wm):
+    """The blocked meta's HMAC authenticates EVERYTHING extraction
+    consumes — Sw, alpha, kfrac, sweeps, shape, mode — not just the
+    reference-order Sc/Uw/Vwt (code-review r3: a tampered Sw blanked the
+    output via the clamp and an edited alpha rescaled it, all behind a
+    passing digest check)."""
+    cp, wp = _paths(tmp_path, cover, wm)
+    out, meta_p, _, _ = api.embed(
+        cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+        alpha=0.12, password=PW, method="blocked")
+
+    def tampered(**edits):
+        with np.load(meta_p, allow_pickle=False) as z:
+            data = {k: z[k] for k in z.files}
+        data.update(edits)
+        tp = str(tmp_path / "tampered.npz")
+        np.savez_compressed(tp, **data)
+        return tp
+
+    ok = api.extract(out, meta_p, str(tmp_path / "ok.png"), password=PW,
+                     enhance=False)
+    assert ok  # untampered meta still verifies after the coverage change
+
+    with np.load(meta_p, allow_pickle=False) as z:
+        sw = z["Sw"]
+    for edits in ({"Sw": np.zeros_like(sw)},
+                  {"alpha": np.float64(0.3)},
+                  # CPU embeds record sweeps=0, so flip it to a non-0
+                  # schedule (0 would be a no-op tamper here)
+                  {"sweeps": np.int64(3)},
+                  {"kfrac": np.float64(0.9)}):
+        with pytest.raises(ValueError, match="HMAC"):
+            api.extract(out, tampered(**edits),
+                        str(tmp_path / "x.png"), password=PW)

@@ -307,3 +307,14 @@ def test_roundtrip_matches_split(data):
     np.testing.assert_array_equal(np.asarray(stego), np.asarray(m_split))
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_split))
     np.testing.assert_array_equal(np.asarray(s_cw), np.asarray(s_split))
+
+
+def test_explicit_rows_must_divide_hb(data):
+    """An explicit rows that does not divide hb would leave the last
+    hb % rows block rows of the output UNWRITTEN (the grid never visits
+    them) — it must raise instead (code-review r3)."""
+    planes, sws, _, _, _ = data           # 64x80 -> hb=8
+    with pytest.raises(ValueError, match="divide"):
+        wm_pallas.embed_plane_blocks(planes, sws, rows=3, interpret=True)
+    with pytest.raises(ValueError, match="divide"):
+        wm_pallas.spectrum_plane_blocks(planes, rows=5, interpret=True)
