@@ -8,6 +8,9 @@ rows=1 46.2, rows=5 40.3. 1080p color scale (batch 32 -> 96 planes),
 serving sweeps=3. Remote pallas compiles are ~4-5 min each and bypass the
 persistent cache, so only decisive variants run.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -1,6 +1,9 @@
 """A/B: final singular values from the Rutishauser-cached norms instead
 of fresh ||g||² reductions (saves 8 x 4 = 32 full-width ops per kernel
 invocation) — plus accuracy of the cached values vs fresh."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -6,6 +6,9 @@ composite rank-6 permutation could replace each pair — but round 2 showed
 XLA tiles rank-3 transposes and scalarizes rank-5, so measure, don't
 assume.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -1,6 +1,9 @@
 """Why does the extract-tail head cost 14 ms on ~66 MB of data?
 Probe the [.., N, k] slot->natural gather formulations and the erasure
 mask alone."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

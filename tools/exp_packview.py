@@ -7,6 +7,9 @@ Packed layout: plane [P, H, W] u8 -> reshape [.., W/4, 4] -> bitcast u32
 [P, H, W/4] -> block view [M, wb, 2] u32 -> transpose -> [R, 8, 2, wb]
 window; column c lives in word c//4 at byte c%4.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -11,6 +11,9 @@ tries the remaining formulations:
 on a natural-layout window [R*8, W], against the shipped kernel whose input
 rides a 12 ms XLA transpose.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

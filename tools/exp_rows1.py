@@ -2,6 +2,9 @@
 round 2 — _rows_per_cell picks the LARGEST divisor with R*Wb<=1024, so the
 smallest tiles were untested) for both serving kernels at sweeps=3.
 1080p color scale (batch 32 planes*3)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -6,6 +6,9 @@ DMA, norms, sort, u-normalize, delta paint for embed) and the marginal
 per-sweep slope is the pure Jacobi rotation cost. 96 planes of 1080p
 (batch 32 color), rows=3, the serving config.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -6,6 +6,9 @@ in VMEM — 199 vs 796 MB per 96-plane pass) and the raw-g embed paint
 against the r2 shipped numbers (f32 view): spectrum s3 38.5 ms,
 embed s3 49.3 ms at 96×1080p planes.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

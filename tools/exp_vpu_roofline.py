@@ -12,6 +12,9 @@ ops with 2 rsqrts per rotation) sits between these bounds; comparing its
 measured op rate against the ilp8 ceiling gives the fraction of the VPU
 the kernel achieves — the roofline that bounds any further single-chip
 speedup at fixed op count."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

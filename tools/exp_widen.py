@@ -10,6 +10,9 @@ kernel-side widen should be far cheaper than the u8 unpack.
 Measures spectrum at sweeps=0 (pure fixed cost) and sweeps=2/3 for view
 dtypes u8 / bf16 / f32, end-to-end from u8 planes.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -14,6 +14,9 @@ at the bench's block count.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/mxu_svd_prototype.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 
 import time
 import functools

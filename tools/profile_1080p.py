@@ -3,6 +3,9 @@
 Chained-accumulator methodology (see bench.py): each timed region chains a
 scalar dependency through every iteration and forces one readback at the end.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -4,6 +4,9 @@ Methodology: block_until_ready doesn't block on the axon tunnel, so each
 stage is chained through a device-side scalar accumulator and synced ONCE
 via a host readback (see bench.py).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 
 import sys
 import time

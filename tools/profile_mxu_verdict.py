@@ -7,6 +7,9 @@ matmuls. This measures what ONE such pass costs on the chip vs the whole
 dramatically cheaper than the entire Jacobi solve, no iteration built from
 them can win, closing the MXU question with hardware numbers.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

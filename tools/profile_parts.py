@@ -1,5 +1,8 @@
 """Fixed-cost breakdown: XLA view transposes, luma, unblockify, normalize,
 and kernel row-tile (R) sweep at 1080p."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

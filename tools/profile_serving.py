@@ -2,6 +2,9 @@
 channels-last, sweeps=_FUSED_SWEEPS) — where do the step's milliseconds
 live AFTER the view-transpose/u8 work?  Chained-accumulator methodology
 (see bench.py)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

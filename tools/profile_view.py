@@ -1,4 +1,7 @@
 """Isolate the XLA view-transpose cost around the fused kernels."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -1,4 +1,7 @@
 """A/B timing: delta vs recon embed kernel + rows sweep (1080p x 96 planes)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 
 import time
 import numpy as np
