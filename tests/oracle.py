@@ -180,6 +180,43 @@ def extract_gray_raw(stego_bgr: np.ndarray, meta: dict, password: str):
     return np.clip(wy, 0, 255).astype(np.uint8)
 
 
+def extract_color_raw(stego_bgr: np.ndarray, meta: dict, password: str):
+    """Per-channel color extract up to the normalized u8 merge, before
+    colored-NLM/enhance (mirrors app_dct_svd_single.py:232-275 — the
+    deterministic part, like extract_gray_raw)."""
+    h, w = (int(v) for v in meta["shape"])
+    key = derive_key(password, bytes(meta["nonce"].tobytes()))
+    s_l = [meta[k] for k in ("Sb", "Sg", "Sr")]
+    uw_l = [meta[k] for k in ("UWb", "UWg", "UWr")]
+    vwt_l = [meta[k] for k in ("VWbt", "VWgt", "VWrt")]
+    expected = hmac_digest(key, [s.tobytes() for s in s_l]
+                           + [u.tobytes() for u in uw_l]
+                           + [v.tobytes() for v in vwt_l])
+    if not hmac.compare_digest(expected, bytes(meta["digest"].tobytes())):
+        raise ValueError("bad password")
+    alpha = max(float(meta["alpha"]), 1e-8)
+    kfrac = float(meta["kfrac"])
+    idx = keyed_perm(key, h * w)
+    inv = np.empty_like(idx)
+    inv[idx] = np.arange(idx.size)
+    outs = []
+    for ch, sc, uw, vwt in zip(cv2.split(stego_bgr.astype(np.float32)),
+                               s_l, uw_l, vwt_l):
+        s_cw = np.linalg.svd(dct2(ch), compute_uv=False)
+        l = min(len(sc), len(s_cw), uw.shape[0], vwt.shape[0])
+        k = max(8, int(kfrac * l))
+        sw_hat = (s_cw[:l] - sc[:l]) / alpha
+        sw_hat[k:] = 0
+        wm_hat = (uw[:l, :l] @ np.diag(sw_hat)
+                  @ vwt[:l, :l]).astype(np.float32)
+        full = np.zeros((h, w), np.float32)
+        full[:l, :l] = wm_hat
+        wch = idct2(full).reshape(-1)[inv].reshape(h, w)
+        wch = cv2.normalize(wch, None, 0, 255, cv2.NORM_MINMAX)
+        outs.append(np.clip(wch, 0, 255).astype(np.uint8))
+    return cv2.merge(outs)
+
+
 def detect(stego_bgr: np.ndarray, meta: dict):
     """Mirrors app_dct_svd_single.py:291-318."""
     alpha = max(float(meta["alpha"]), 1e-8)

@@ -102,6 +102,21 @@ def test_color_roundtrip(tmp_path, cover, wm):
     found, score = api.detect(out, meta_p)
     assert found and score > 0.9
 
+    # bit-level parity with the reference color extract (oracle
+    # transcription of app_dct_svd_single.py:232-275), same standard the
+    # gray path is held to — nc>0.5 vs the resized watermark alone could
+    # not catch swapped channel keys or a per-channel permutation
+    import cv2
+    wm_out = api.extract(out, meta_p, str(tmp_path / "wm_c.png"),
+                         password=PW, enhance=False)
+    got = cv2.imread(wm_out)                       # BGR
+    stego_img = cv2.imread(out)
+    data = dict(np.load(meta_p, allow_pickle=False))
+    raw_o = oracle.extract_color_raw(stego_img, data, PW)
+    assert oracle.nc(got, raw_o) > 0.98
+    for c in range(3):                             # per-channel, not pooled
+        assert oracle.nc(got[..., c], raw_o[..., c]) > 0.95, c
+
     import cv2
     stego_img = cv2.imread(out)
     data = dict(np.load(meta_p, allow_pickle=False))
