@@ -376,8 +376,9 @@ def embed_gray_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
                         with_metrics: bool = True):
     """Cover-side blocked gray embed against a prepared watermark.
 
-    Returns (stego_bgr u8, sc, psnr, ssim); psnr/ssim are NaN placeholders
-    when ``with_metrics=False`` (throughput serving path).
+    Returns (stego_bgr u8, sc, psnr, ssim); psnr/ssim are -1 sentinels
+    when ``with_metrics=False`` (throughput serving path; -1 is
+    unreachable for real metrics and NaN-checker-safe).
     """
     y = color.luma_f32(cover_bgr_u8)
     y_marked, sc = _embed_planes(y, sw, alpha, kfrac)
@@ -387,8 +388,11 @@ def embed_gray_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
         ps = metrics.psnr(cover_bgr_u8, stego)
         ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8), y_marked)
     else:
-        nan = jnp.full(cover_bgr_u8.shape[:-3], jnp.nan, jnp.float32)
-        ps = ss = nan
+        # -1 sentinel, not NaN: PSNR is never negative and a real
+        # stego/cover SSIM is never -1, while a NaN constant would trip
+        # the DCTSVD_DEBUG_CHECKS sanitizer on a deliberately-uncomputed
+        # value and block the whole serving path in checked CI
+        ps = ss = jnp.full(cover_bgr_u8.shape[:-3], -1.0, jnp.float32)
     return stego, sc, ps, ss
 
 
@@ -409,8 +413,11 @@ def embed_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
         ss = metrics.ssim(color.bgr_to_gray(cover_bgr_u8),
                           color.bgr_to_gray(stego))
     else:
-        nan = jnp.full(cover_bgr_u8.shape[:-3], jnp.nan, jnp.float32)
-        ps = ss = nan
+        # -1 sentinel, not NaN: PSNR is never negative and a real
+        # stego/cover SSIM is never -1, while a NaN constant would trip
+        # the DCTSVD_DEBUG_CHECKS sanitizer on a deliberately-uncomputed
+        # value and block the whole serving path in checked CI
+        ps = ss = jnp.full(cover_bgr_u8.shape[:-3], -1.0, jnp.float32)
     return stego, sc, ps, ss
 
 

@@ -38,10 +38,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # SURVEY §5 sanitizer analog: DCTSVD_DEBUG_CHECKS=1 turns on jax NaN/inf
-# checking for the WHOLE suite (CI mode). Off by default because several
-# graphs contain where-guarded infs (psnr's 0-mse branch) that the global
-# checker would flag; tests/test_debug_checks.py always exercises the
-# checked mode on a clean roundtrip regardless.
+# checking for the WHOLE suite (CI mode). The full 132-test suite is
+# green under it (verified 2026-08-18, after replacing the deliberate
+# NaN metric placeholders with -1 sentinels); off by default only for
+# speed. tests/test_debug_checks.py always exercises the checked mode
+# on a clean roundtrip regardless.
 if os.environ.get("DCTSVD_DEBUG_CHECKS", "").lower() in ("1", "true"):
     from dctsvd_tpu.utils import profiling as _profiling
     _profiling.enable_debug_checks()
