@@ -419,6 +419,33 @@ def bench_mesh_scaling(n_devices=8, h=512, w=512, per_dev_batch=2,
     return fps1, fpsn
 
 
+def _require_backend(timeout_s: int = 900):
+    """Fail fast (rc 3, message on stderr) if the TPU attachment is down.
+
+    Backend init on this container goes through a remote claim that can
+    hang INDEFINITELY during an attachment outage (observed >9 h on
+    2026-08-17: even jax.devices() never returns). A watchdog hard-exits
+    so the driver records a failed bench instead of a silent wedge."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            log(f"FATAL: no JAX backend after {timeout_s}s — the TPU "
+                "attachment looks wedged (jax.devices() hang); aborting "
+                "instead of blocking the driver forever")
+            import os
+            os._exit(3)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    import jax
+    devs = jax.devices()
+    done.set()
+    log(f"backend up: {devs}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="1080p",
@@ -435,6 +462,9 @@ def main():
     p.add_argument("--scheme", choices=["blocked", "full"],
                    default="blocked", help="video bench scheme")
     args = p.parse_args()
+
+    if args.config != "mesh":      # mesh runs on the CPU platform and
+        _require_backend()         # must not init the TPU backend first
 
     if args.config == "1080p":
         fps = bench_embed_extract(1080, 1920, args.batch, args.iters,
