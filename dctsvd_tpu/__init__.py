@@ -19,19 +19,45 @@ Two numerical paths, one API:
 __version__ = "0.1.0"
 
 
+def _machine_tag() -> str:
+    """Short fingerprint of this host's ISA feature set (arch + cpuinfo
+    flags). XLA:CPU AOT cache entries are compiled FOR a feature set; an
+    entry produced on a wider-ISA host loads on a narrower one with only a
+    'could lead to execution errors such as SIGILL' warning (seen in the
+    round-3 multichip dryrun when ~/.cache rode across heterogeneous
+    hosts). Keying the cache directory by this tag makes cross-machine
+    reuse structurally impossible."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    h.update(line)
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()[:12]
+
+
 def _setup_compilation_cache() -> None:
     """Enable JAX's persistent compilation cache.
 
     The whole-frame Jacobi SVD graph takes minutes to compile on TPU; without
     a persistent cache every fresh CLI/GUI process pays that again. Opt out
-    with ``DCTSVD_TPU_NO_CACHE=1``; relocate with ``DCTSVD_TPU_CACHE_DIR``.
+    with ``DCTSVD_TPU_NO_CACHE=1``; relocate with ``DCTSVD_TPU_CACHE_DIR``
+    (a machine-feature subdirectory is appended either way — see
+    :func:`_machine_tag`).
     """
     import os
 
     if os.environ.get("DCTSVD_TPU_NO_CACHE"):
         return
-    cache_dir = os.environ.get("DCTSVD_TPU_CACHE_DIR") or os.path.join(
+    base_dir = os.environ.get("DCTSVD_TPU_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "dctsvd_tpu", "jax")
+    cache_dir = os.path.join(base_dir, _machine_tag())
     try:
         import jax
 

@@ -56,8 +56,9 @@ def handle_embed(cover: str, wm: str, out: str, password: str,
                              "watermark first.")
     # the spinbox advertises 0.01-0.30 but ttk does not clamp TYPED text:
     # alpha=0 embeds nothing behind a success message, alpha>>0.3 wrecks
-    # the host — validate here so the pure handler owns the contract
-    if not (0.005 <= float(alpha) <= 0.5):
+    # the host — validate here (same bounds the scale advertises) so the
+    # pure handler owns the contract
+    if not (0.01 <= float(alpha) <= 0.30):
         return HandlerResult(False, f"ERROR: alpha {alpha} out of range "
                              "(use 0.01-0.30).")
     try:
@@ -126,11 +127,16 @@ def preview_ppm_bytes(image_path: str, max_side: int = 220) -> bytes:
     return header + rgb.tobytes()
 
 
-def main():  # pragma: no cover - interactive
+def build_ui(root):
+    """Construct the notebook UI on an existing Tk root and return the
+    widget-shell handle: the tab actions and their tk variables, so a
+    display-gated smoke test can drive the REAL widget wiring (set vars,
+    invoke the button commands, read the info labels) without a user —
+    the only reference surface that otherwise never executes in CI
+    (ref: app_dct_svd_single.py:330-480)."""
     import tkinter as tk
     from tkinter import filedialog, ttk
 
-    root = tk.Tk()
     root.title("DCT-SVD Watermarking (TPU)")
     nb = ttk.Notebook(root)
     nb.pack(fill="both", expand=True, padx=8, pady=8)
@@ -278,6 +284,25 @@ def main():  # pragma: no cover - interactive
     ttk.Button(dt, text="DETECT", command=do_detect).pack(pady=6)
 
     root.geometry("720x560")
+    return {
+        "notebook": nb,
+        "embed": do_embed, "extract": do_extract, "detect": do_detect,
+        "vars": {
+            "cover": cover_v, "wm": wm_v, "out": out_v, "pwd": pwd_v,
+            "alpha": alpha_v, "color": color_v, "blocked": blocked_v,
+            "info": info_v,
+            "x_stego": x_stego_v, "x_meta": x_meta_v, "x_out": x_out_v,
+            "x_pwd": x_pwd_v, "x_info": x_info_v,
+            "d_stego": d_stego_v, "d_meta": d_meta_v, "d_info": d_info_v,
+        },
+    }
+
+
+def main():  # pragma: no cover - interactive
+    import tkinter as tk
+
+    root = tk.Tk()
+    build_ui(root)
     root.mainloop()
 
 

@@ -119,7 +119,16 @@ class Meta:
     digest: Optional[bytes]
     arrays: Dict[str, np.ndarray] = field(default_factory=dict)
     sweeps: int = 0   # embed-time Jacobi sweep schedule (blocked modes;
-                      # 0 = converged/XLA embed) — replayed at extract/detect
+                      # 0 = "converged or unknown") — replayed at
+                      # extract/detect. Metas written by pre-round-3
+                      # builds carry no sweeps key and load as 0; if such
+                      # a meta was fused-embedded (old serving default 3)
+                      # the replay runs the near-converged kernel default
+                      # instead, leaving a small un-cancelled residual —
+                      # documented legacy degradation, re-embed to clear.
+    digest_v: int = 1  # blocked-meta digest schema (models/blocked.py
+                       # DIGEST_V); 1 = legacy Sc/Uw/Vwt-only coverage
+                       # (metas without a digest_v key)
 
     @property
     def is_color(self) -> bool:
@@ -154,7 +163,7 @@ class Meta:
 # video-meta scalars, e.g. 'text'/'font_size') stays visible in
 # Meta.arrays instead of silently vanishing on a save->load round trip.
 _SCALARS = {"mode", "payload_type", "alpha", "kfrac", "shape", "nonce",
-            "digest", "sweeps"}
+            "digest", "sweeps", "digest_v"}
 
 
 def load_meta(path: str) -> Meta:
@@ -172,10 +181,11 @@ def load_meta(path: str) -> Meta:
         digest = (bytes(data["digest"].astype(np.uint8).tobytes())
                   if "digest" in keys else None)
         sweeps = int(data["sweeps"]) if "sweeps" in keys else 0
+        digest_v = int(data["digest_v"]) if "digest_v" in keys else 1
         arrays = {k: np.asarray(data[k]) for k in keys if k not in _SCALARS}
     return Meta(mode=mode, payload_type=payload_type, alpha=alpha,
                 kfrac=kfrac, shape=shape, nonce=nonce, digest=digest,
-                arrays=arrays, sweeps=sweeps)
+                arrays=arrays, sweeps=sweeps, digest_v=digest_v)
 
 
 def default_stego_path(out_path: str) -> str:

@@ -179,6 +179,7 @@ class AsyncEncoder:
         self._writer = writer
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._exc: Optional[BaseException] = None
+        self._closed = False
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
@@ -211,9 +212,24 @@ class AsyncEncoder:
 
     def _check(self):
         if self._exc is not None:
-            raise self._exc
+            # raise a fresh same-type copy chained to the stored
+            # exception: repeated re-raises of one object would keep
+            # appending frames onto its single traceback
+            exc = self._exc
+            try:
+                new = type(exc)(*exc.args)
+            except Exception:
+                new = RuntimeError(f"encoder thread failed: {exc!r}")
+            raise new from exc
+
+    def _check_open(self):
+        if self._closed:
+            # post-close writes would sit in the queue forever (the
+            # encoder thread has exited) — fail loudly instead
+            raise RuntimeError("AsyncEncoder used after close()")
 
     def write(self, frame_bgr: np.ndarray):
+        self._check_open()
         self._check()
         self._q.put(("frame", frame_bgr))
 
@@ -221,6 +237,7 @@ class AsyncEncoder:
         """Drain queued frames, finalize the open segment, return total
         durable frames (SegmentedVideoWriter.roll contract)."""
         from concurrent.futures import Future
+        self._check_open()
         self._check()
         fut: "Future[int]" = Future()
         self._q.put((self._ROLL, fut))
@@ -228,7 +245,11 @@ class AsyncEncoder:
 
     def close(self):
         """Drain and stop the encoder thread (does NOT close the
-        underlying writer — its context manager owns that)."""
+        underlying writer — its context manager owns that). Idempotent;
+        any later write/sync_roll raises."""
+        if self._closed:
+            return
+        self._closed = True
         self._q.put(None)
         self._t.join()
         self._check()

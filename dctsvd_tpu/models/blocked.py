@@ -848,16 +848,34 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
 # Host orchestration (called from dctsvd_tpu.api for method='blocked')
 # ---------------------------------------------------------------------------
 
+# Blocked-meta digest schema version, written as `digest_v` in the meta.
+#   v1 (pre round 3, implicit — metas carry no digest_v key): HMAC over
+#      Sc/Uw/Vwt only, matching the parity modes' reference coverage.
+#   v2: HMAC additionally covers Sw + mode/alpha/kfrac/sweeps/shape.
+# extract_array verifies whichever version the meta declares, so v1 metas
+# written by earlier builds keep loading instead of failing with a
+# misleading wrong-password error (a silent format break otherwise).
+DIGEST_V = 2
+
+
+def _digest_v1(key: bytes, sc: np.ndarray, uw: np.ndarray,
+               vwt: np.ndarray) -> bytes:
+    """Legacy blocked-meta HMAC (digest_v absent): Sc/Uw/Vwt only. Kept
+    solely to VERIFY old metas — new metas always write DIGEST_V."""
+    return crypto.meta_digest(
+        key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
+
+
 def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
             vwt: np.ndarray, sw: np.ndarray, *, mode: str, alpha: float,
             kfrac: float, sweeps: int, shape) -> bytes:
-    """Blocked-meta HMAC. Unlike the parity modes (whose coverage is
-    pinned to the reference's Sc/Uw/Vwt order — io/meta.py docstring),
-    the blocked scheme is this framework's own mode tag, so it
-    authenticates EVERYTHING extraction consumes: a tampered Sw used to
-    blank the output via the clamp, a flipped sweeps count silently
-    broke the residual cancellation, and an edited alpha rescaled the
-    result — all behind a passing digest check."""
+    """Blocked-meta HMAC, current version (DIGEST_V). Unlike the parity
+    modes (whose coverage is pinned to the reference's Sc/Uw/Vwt order —
+    io/meta.py docstring), the blocked scheme is this framework's own
+    mode tag, so it authenticates EVERYTHING extraction consumes: a
+    tampered Sw used to blank the output via the clamp, a flipped sweeps
+    count silently broke the residual cancellation, and an edited alpha
+    rescaled the result — all behind a passing digest check."""
     import struct
     scalars = (mode.encode() + struct.pack(
         "<ddqqq", float(alpha), float(kfrac), int(sweeps),
@@ -913,6 +931,7 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
         kw.update(extra_meta)
     if key is not None:
         kw["nonce"] = np.frombuffer(nonce, dtype=np.uint8)
+        kw["digest_v"] = DIGEST_V
         kw["digest"] = np.frombuffer(
             _digest(key, sc, uw, vwt, sw, mode=mode, alpha=float(alpha),
                     kfrac=float(kfrac), sweeps=sweeps, shape=(h, w)),
@@ -932,13 +951,21 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
     if meta.digest is not None:
         if key is None:
             raise ValueError("This meta requires a password.")
-        expected = _digest(key, sc, uw, vwt, meta.arrays["Sw"],
-                           mode=meta.mode, alpha=float(meta.alpha),
-                           kfrac=float(meta.kfrac),
-                           sweeps=int(meta.sweeps), shape=(h, w))
+        if meta.digest_v >= 2:
+            expected = _digest(key, sc, uw, vwt, meta.arrays["Sw"],
+                               mode=meta.mode, alpha=float(meta.alpha),
+                               kfrac=float(meta.kfrac),
+                               sweeps=int(meta.sweeps), shape=(h, w))
+        else:
+            # pre-digest_v meta (earlier build): Sc/Uw/Vwt-only coverage.
+            # Verified as written so old metas keep extracting; their
+            # Sw/alpha/kfrac/sweeps ride UNauthenticated (legacy trust
+            # assumption — re-embed to get full coverage).
+            expected = _digest_v1(key, sc, uw, vwt)
         if not crypto.digests_equal(expected, meta.digest):
-            raise ValueError("Wrong password or corrupted meta "
-                             "(HMAC verification failed).")
+            raise ValueError(
+                "Wrong password or corrupted meta (HMAC verification "
+                f"failed; meta digest schema v{meta.digest_v}).")
     else:
         key = None                     # open-mode meta: identity indices
     blk_idx, intra_idx = _indices(key, h, w)

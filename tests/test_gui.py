@@ -99,7 +99,59 @@ def test_handle_embed_rejects_out_of_range_alpha(tmp_path):
     nothing behind a success message; the pure handler owns the range
     contract (code-review r3)."""
     from dctsvd_tpu import gui
-    for bad in (0.0, 3.0, -0.1):
+    # 0.45 previously PASSED validation while the message advertised
+    # 0.01-0.30 (advisor r3) — accepted range now equals the advertised
+    for bad in (0.0, 3.0, -0.1, 0.45, 0.005):
         r = gui.handle_embed("c.png", "w.png", "", password="pw",
                              alpha=bad, color=False, blocked=False)
         assert not r.ok and "alpha" in r.message
+
+
+def _try_tk_root():
+    """A Tk root, or None when no display server is reachable."""
+    try:
+        import tkinter as tk
+        return tk.Tk()
+    except Exception:
+        return None
+
+
+def test_gui_widget_shell_smoke(images, tmp_path):
+    """Drive the REAL widget shell wherever a display exists (VERDICT r3
+    #7): build the notebook UI, type into the tk variables, click EMBED/
+    DETECT/EXTRACT via their button commands, and read the info labels.
+    Skipped (not failed) in display-less containers — the handler logic
+    itself is covered headlessly above."""
+    root = _try_tk_root()
+    if root is None:
+        pytest.skip("no display server (Tk root unavailable)")
+    try:
+        ui = gui.build_ui(root)
+        v = ui["vars"]
+        cp, wp = images
+        out = str(tmp_path / "g.png")
+        v["cover"].set(cp)          # triggers the trace -> extract prefill
+        v["wm"].set(wp)
+        v["out"].set(out)
+        v["pwd"].set("pw")
+        v["alpha"].set(0.12)
+        v["blocked"].set(True)
+        ui["embed"]()
+        assert "PSNR" in v["info"].get(), v["info"].get()
+        # the cover trace prefilled the extract/detect tabs
+        assert v["x_stego"].get().endswith("_stego.png")
+
+        v["d_stego"].set(out)
+        v["d_meta"].set(str(tmp_path / "g_meta.npz"))
+        ui["detect"]()
+        assert "Watermarked" in v["d_info"].get(), v["d_info"].get()
+
+        v["x_stego"].set(out)
+        v["x_meta"].set(str(tmp_path / "g_meta.npz"))
+        v["x_out"].set(str(tmp_path / "g_wm.png"))
+        v["x_pwd"].set("pw")
+        ui["extract"]()
+        assert v["x_info"].get().startswith("Extracted"), v["x_info"].get()
+        root.update()               # one event-loop pass over the panes
+    finally:
+        root.destroy()

@@ -2,6 +2,8 @@
 reference-math oracle (SURVEY.md §4.1 tolerances: PSNR Δ ≤ 0.1 dB,
 SSIM Δ ≤ 0.001, detect score Δ ≤ 1e-3)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -277,3 +279,45 @@ def test_blocked_meta_tamper_rejected(tmp_path, cover, wm):
         with pytest.raises(ValueError, match="HMAC"):
             api.extract(out, tampered(**edits),
                         str(tmp_path / "x.png"), password=PW)
+
+
+def test_blocked_meta_legacy_v1_digest_still_extracts(tmp_path, cover, wm):
+    """Expanding the blocked digest's coverage (round 3) must not brick
+    metas written by earlier builds: a meta carrying the legacy
+    Sc/Uw/Vwt-only digest and NO digest_v key verifies against the v1
+    schema and extracts (advisor r3 — previously it failed with a
+    misleading wrong-password error)."""
+    from dctsvd_tpu.models import blocked as m_blocked
+    from dctsvd_tpu.utils import crypto
+    cp, wp = _paths(tmp_path, cover, wm)
+    out, meta_p, _, _ = api.embed(
+        cp, wp, str(tmp_path / "s.png"), str(tmp_path / "m.npz"),
+        alpha=0.12, password=PW, method="blocked")
+
+    # rewrite as a pre-round-3 build would have: v1 digest, no digest_v
+    with np.load(meta_p, allow_pickle=False) as z:
+        data = {k: z[k] for k in z.files}
+    data.pop("digest_v")
+    key = crypto.derive_key(PW, bytes(data["nonce"].tobytes()))
+    data["digest"] = np.frombuffer(
+        m_blocked._digest_v1(key, data["Sc"], data["Uw"], data["Vwt"]),
+        np.uint8)
+    legacy_p = str(tmp_path / "legacy.npz")
+    np.savez_compressed(legacy_p, **data)
+
+    outp = api.extract(out, legacy_p, str(tmp_path / "legacy_wm.png"),
+                       password=PW, enhance=False)
+    assert os.path.exists(outp)
+    # wrong password still rejected on the v1 path
+    with pytest.raises(ValueError, match="HMAC"):
+        api.extract(out, legacy_p, str(tmp_path / "x.png"),
+                    password="not-the-password")
+    # and a new-format meta whose digest_v was stripped (downgrade
+    # attempt) fails v1 verification rather than passing anything
+    with np.load(meta_p, allow_pickle=False) as z:
+        d2 = {k: z[k] for k in z.files}
+    d2.pop("digest_v")
+    down_p = str(tmp_path / "down.npz")
+    np.savez_compressed(down_p, **d2)
+    with pytest.raises(ValueError, match="HMAC"):
+        api.extract(out, down_p, str(tmp_path / "y.png"), password=PW)

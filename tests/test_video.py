@@ -446,3 +446,19 @@ def test_async_encoder_order_and_errors(tmp_path):
             enc.write(frame)
     with pytest.raises(IOError):
         enc.close()
+
+
+def test_async_encoder_use_after_close(tmp_path):
+    """write()/sync_roll() after close() must raise, not silently queue
+    frames no thread will ever drain (advisor r3); close() is
+    idempotent."""
+    base = str(tmp_path / "uac.mp4")
+    with video_io.SegmentedVideoWriter(base, 10, 32, 16) as w:
+        enc = video_io.AsyncEncoder(w)
+        enc.write(np.zeros((16, 32, 3), np.uint8))
+        enc.close()
+        enc.close()                         # idempotent
+        with pytest.raises(RuntimeError, match="after close"):
+            enc.write(np.zeros((16, 32, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="after close"):
+            enc.sync_roll()
