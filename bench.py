@@ -308,6 +308,189 @@ def bench_robustness(h=2160, w=3840,
     return worst_detect, table
 
 
+def _roc_host(i: int, h: int, w: int) -> np.ndarray:
+    """Deterministic varied-content clean host #i (BGR u8): four families
+    so the clean-score distribution isn't an artifact of one content
+    class — white noise, low-pass 'natural-spectrum' noise, gradients +
+    geometric shapes, and periodic textures."""
+    import cv2
+    rng = np.random.default_rng(1000 + i)
+    fam = i % 4
+    if fam == 0:                                   # white noise
+        img = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+    elif fam == 1:                                 # low-pass noise
+        sigma = 1.0 + (i % 16) * 0.5
+        x = cv2.GaussianBlur(
+            rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+            (0, 0), sigma).astype(np.float32)
+        lo, hi = x.min(), x.max()
+        img = ((x - lo) * (255.0 / max(hi - lo, 1e-6))).astype(np.uint8)
+    elif fam == 2:                                 # gradient + shapes
+        gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        img = np.stack([gy + 0 * gx, 0 * gy + gx, (gy + gx) / 2],
+                       -1).astype(np.uint8)
+        img = np.ascontiguousarray(img)
+        for _ in range(8):
+            p1 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            p2 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            col = tuple(int(v) for v in rng.integers(0, 256, 3))
+            cv2.rectangle(img, p1, p2, col, -1)
+    else:                                          # periodic texture
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        f1, f2 = 0.02 + 0.3 * rng.random(), 0.02 + 0.3 * rng.random()
+        base = (np.sin(f1 * xx + rng.random() * 6)
+                * np.cos(f2 * yy + rng.random() * 6))
+        img = np.clip(127.5 + 120 * base[..., None]
+                      + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+    return img
+
+
+def bench_detect_roc(h=512, w=512, n_hosts=240,
+                     alphas=(0.10, 0.14, 0.18, 0.22)):
+    """Operating-point characterization of the band-median detector
+    (VERDICT r3 #3): the blocked detect statistic changed from one global
+    NC to a median of 16 spatial-band NCs, but the reference's 0.6
+    threshold was carried over unexamined. Scores ``n_hosts`` distinct
+    clean hosts (negatives: each original host against its own meta, and
+    against an UNRELATED host's meta) and watermarked+attacked stegos
+    (positives: clean/JPEG-q50/noise-σ5/25%-crop) across the alpha grid,
+    then reports the two distributions, the separation margin, and
+    whether threshold 0.6 gives FPR=0 / TPR=1.
+    Match: detect contract, ref app_dct_svd_single.py:284-318."""
+    import cv2
+    import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.ops import color as c_ops
+    from dctsvd_tpu.utils import crypto
+
+    rng = np.random.default_rng(3)
+    wm = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w), np.uint8).astype(np.uint8), (0, 0), 2)
+    key = crypto.derive_key("roc", bytes(range(8)))
+    blk, intra = crypto.block_permutation_indices(
+        key, blocked.n_blocks_of(h, w))
+    pw = blocked.prepare_wm_gray(jnp.asarray(wm), jnp.asarray(blk),
+                                 jnp.asarray(intra), extract_basis=False)
+
+    B = 12                                   # hosts per device batch
+    per_alpha = n_hosts // len(alphas)
+    per_alpha -= per_alpha % B
+    neg, pos = [], {"clean_stego": [], "jpeg_q50": [], "noise_s5": [],
+                    "crop25": []}
+    host_idx = 0
+    for a in alphas:
+        alpha = jnp.float32(a)
+        for _ in range(per_alpha // B):
+            hosts = np.stack([_roc_host(host_idx + j, h, w)
+                              for j in range(B)])
+            host_idx += B
+            hosts_d = jnp.asarray(hosts)
+            stego, sc, _, _ = blocked.embed_gray_prepared(
+                hosts_d, pw.sw, alpha, with_metrics=False)
+            stego_np = np.asarray(stego)
+            # negatives: the un-watermarked original scored against its
+            # own meta (worst case: s_cw − sc ≈ 0 noise), and each meta
+            # against a DIFFERENT clean host (unrelated content)
+            neg.extend(np.asarray(blocked.detect_gray(
+                hosts_d, sc, pw.sw, alpha)).tolist())
+            neg.extend(np.asarray(blocked.detect_gray(
+                jnp.asarray(np.roll(hosts, 1, axis=0)), sc, pw.sw,
+                alpha)).tolist())
+            # positives: the stego under no attack and the three attacks
+            jpeg = np.stack([
+                cv2.imdecode(cv2.imencode(
+                    ".jpg", s, [cv2.IMWRITE_JPEG_QUALITY, 50])[1],
+                    cv2.IMREAD_COLOR) for s in stego_np])
+            noisy = np.clip(stego_np.astype(np.float32)
+                            + rng.normal(0, 5, stego_np.shape),
+                            0, 255).astype(np.uint8)
+            cropped = stego_np.copy()
+            cropped[:, : h // 4] = 0
+            for name, batch_np in (("clean_stego", stego_np),
+                                   ("jpeg_q50", jpeg),
+                                   ("noise_s5", noisy),
+                                   ("crop25", cropped)):
+                pos[name].extend(np.asarray(blocked.detect_gray(
+                    jnp.asarray(batch_np), sc, pw.sw, alpha)).tolist())
+        log(f"alpha={a:.2f}: {host_idx} hosts scored")
+
+    neg_a = np.asarray(neg)
+    pos_a = np.concatenate([np.asarray(v) for v in pos.values()])
+    stats = {
+        "n_clean_hosts": host_idx,
+        "n_neg_scores": len(neg), "n_pos_scores": len(pos_a),
+        "neg": {"min": round(float(neg_a.min()), 4),
+                "mean": round(float(neg_a.mean()), 4),
+                "p99": round(float(np.percentile(neg_a, 99)), 4),
+                "max": round(float(neg_a.max()), 4)},
+        "pos_min_by_attack": {k: round(float(np.min(v)), 4)
+                              for k, v in pos.items()},
+        "pos": {"min": round(float(pos_a.min()), 4),
+                "p1": round(float(np.percentile(pos_a, 1)), 4),
+                "mean": round(float(pos_a.mean()), 4)},
+        "separation_margin": round(float(pos_a.min() - neg_a.max()), 4),
+        "fpr_at_0.6": round(float(np.mean(neg_a >= 0.6)), 4),
+        "tpr_at_0.6": round(float(np.mean(pos_a >= 0.6)), 4),
+        "suggested_threshold": round(
+            float((pos_a.min() + neg_a.max()) / 2), 4),
+    }
+    log(f"detect ROC table: {json.dumps(stats)}")
+    return stats
+
+
+def bench_8k_plane(h=4320, w=7680, iters=8):
+    """Plane-sharded single-frame 8K gray embed+detect (SURVEY §2.7 plane
+    row): the frame splits into horizontal bands across the mesh via
+    parallel/plane's shard_map path. On the one real chip this is a
+    1-shard mesh (the kernels and band plumbing still run end-to-end);
+    under JAX_PLATFORMS=cpu with virtual devices it exercises the real
+    multi-band program. Returns frames/sec."""
+    import jax
+    import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.ops import color as c_ops
+    from dctsvd_tpu.parallel import mesh as mesh_lib
+    from dctsvd_tpu.parallel import plane as par_plane
+
+    devs = jax.devices()
+    # largest shard count that divides the padded band structure
+    n = len(devs)
+    while n > 1 and (h % (8 * n)) != 0:
+        n -= 1
+    mesh = mesh_lib.make_mesh(n, devices=devs[:n])
+    log(f"8K plane-sharded: {n} shard(s) over {len(devs)} device(s)")
+
+    frames, wm, blk, intra = _inputs(1, h, w)
+    frame = frames[0]
+    alpha = jnp.float32(0.12)
+    pw = blocked.prepare_wm_gray(c_ops.bgr_to_gray(wm), blk, intra,
+                                 extract_basis=False)
+
+    stego, sc = par_plane.plane_embed_gray(frame, pw.sw, alpha, mesh=mesh)
+    score = par_plane.plane_detect_gray(stego, sc, pw.sw, alpha, mesh=mesh)
+    jax.block_until_ready((stego, sc))
+    s0 = float(score)
+    assert s0 > 0.5, s0
+    log(f"8K plane detect score {s0:.4f}")
+
+    fps = 0.0
+    for rep in range(2):
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(iters):
+            stego, sc = par_plane.plane_embed_gray(frame, pw.sw, alpha,
+                                                   mesh=mesh)
+            score = par_plane.plane_detect_gray(stego, sc, pw.sw, alpha,
+                                                mesh=mesh)
+            acc += float(score)        # per-iter sync: one frame in flight
+        dt = time.time() - t0
+        log(f"8k-plane rep{rep}: {dt:.3f}s for {iters} frames "
+            f"({iters / dt:.2f} fps), mean score {acc / iters:.4f}")
+        fps = max(fps, iters / dt)
+    return fps
+
+
 def bench_full_path(h=1080, w=1920, batch=2, iters=4):
     """VERDICT r2 #7: a tracked perf number for the PARITY path
     (method='full' — whole-frame DCT + svd_full QDWH SVD, the path that
@@ -451,7 +634,7 @@ def main():
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "1080pgray", "512gray", "detect",
                             "video", "robustness", "4k", "mesh",
-                            "1080p-full"])
+                            "1080p-full", "detect-roc", "8k-plane"])
     p.add_argument("--mesh-devices", type=int, default=8)
     # batch sweep on v5e (round 3, s2 serving): 96 -> 490 fps, 112 -> 506,
     # 128 -> 517/518 (two runs), 144 -> 465, 160 -> 474, 192 -> 491;
@@ -512,6 +695,28 @@ def main():
                       "path, whole-frame SVD)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps * REF_1080P_GRAY_S, 1)}))
+    elif args.config == "detect-roc":
+        stats = bench_detect_roc()
+        print(json.dumps({
+            "metric": "blocked band-median detect operating point: "
+                      "separation margin (min attacked-stego score - max "
+                      "clean-host score) over "
+                      f"{stats['n_clean_hosts']} varied clean hosts x "
+                      "alpha 0.10-0.22; threshold 0.6 holds iff "
+                      "fpr=0/tpr=1 (logged table)",
+            "value": stats["separation_margin"], "unit": "NC score",
+            # how comfortably the worst positive clears the reference
+            # threshold (>1 = holds with margin)
+            "vs_baseline": round(stats["pos"]["min"] / 0.6, 2)}))
+    elif args.config == "8k-plane":
+        fps = bench_8k_plane()
+        # reference model: 16x the 1080p pixels -> 16x the measured CPU
+        # time for the gray third (see REF_1080P_GRAY_S)
+        print(json.dumps({
+            "metric": "8K gray embed+detect, plane-sharded path "
+                      "(parallel/plane shard_map bands)",
+            "value": round(fps, 3), "unit": "frames/sec",
+            "vs_baseline": round(fps * 16 * REF_1080P_GRAY_S, 1)}))
     elif args.config == "mesh":
         # sitecustomize preimports jax, so XLA_FLAGS set here comes too
         # late — the config knobs are the reliable route before any

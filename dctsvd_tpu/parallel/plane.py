@@ -103,7 +103,9 @@ def _detect_body(grid, sweeps, stego_band, sc_band, sw_band, alpha):
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape(g * g, gh * gw * BLOCK)
 
-    bands = metrics.nc(to_bands(sw_b), to_bands(sw_hat))       # [g*g]
+    sw_bands, hat_bands = to_bands(sw_b), to_bands(sw_hat)
+    bands = (metrics.nc(sw_bands, hat_bands)                   # [g*g]
+             * blocked.band_scale_damp(sw_bands, hat_bands))
     all_bands = jax.lax.all_gather(bands, mesh_lib.BATCH_AXIS)  # [n, g*g]
     return jnp.median(all_bands.reshape(-1))
 

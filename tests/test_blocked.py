@@ -238,3 +238,41 @@ def test_serve_verify_matches_split(make_image):
     np.testing.assert_array_equal(np.asarray(stego), np.asarray(stego2))
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
     assert rec.dtype == jnp.uint8 and stego.dtype == jnp.uint8
+
+
+def test_detect_unrelated_host_scale_gate(make_image, rng):
+    """The band NC is scale-invariant, so an UNRELATED image's delta
+    spectrum ((s_cw(other) − sc)/α, content-scale over a small α) could
+    score up to ±0.79 through the shared within-block singular-value
+    profile (round-4 ROC characterization). band_scale_damp gates each
+    band by the recovered magnitude's consistency with ‖Sw‖: unrelated
+    hosts must now score well under the 0.6 threshold while genuine
+    stegos (incl. JPEG'd) stay above it."""
+    import cv2
+    h = w = 128
+    cover, wm, wm_gray, key, (blk, intra), _ = _setup(make_image, h, w)
+    alpha = jnp.float32(0.10)
+    res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
+                             blk, intra, alpha)
+
+    # worst-case unrelated content: different families, both directions
+    others = [
+        rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+        cv2.GaussianBlur(rng.integers(0, 256, (h, w, 3), np.uint8)
+                         .astype(np.uint8), (0, 0), 4),
+        np.clip(np.linspace(0, 255, h)[:, None, None]
+                + np.zeros((h, w, 3)), 0, 255).astype(np.uint8),
+    ]
+    for other in others:
+        s = float(blocked.detect_gray(jnp.asarray(other), res.sc, res.sw,
+                                      alpha))
+        assert abs(s) < 0.5, s
+
+    # the gate must not damp genuine positives
+    stego = np.asarray(res.stego_bgr)
+    assert float(blocked.detect_gray(jnp.asarray(stego), res.sc, res.sw,
+                                     alpha)) > 0.8
+    jpg = cv2.imdecode(cv2.imencode(
+        ".jpg", stego, [cv2.IMWRITE_JPEG_QUALITY, 50])[1], cv2.IMREAD_COLOR)
+    assert float(blocked.detect_gray(jnp.asarray(jpg), res.sc, res.sw,
+                                     alpha)) > 0.7

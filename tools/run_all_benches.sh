@@ -25,7 +25,10 @@ run detect     python bench.py --config detect
 run 4k         python bench.py --config 4k
 run mesh       python bench.py --config mesh
 run full       python bench.py --config 1080p-full
+run 8k_plane   python bench.py --config 8k-plane
+run detect_roc python bench.py --config detect-roc
 run video      python bench.py --config video
+run video_full python bench.py --config video --scheme full
 run robustness python bench.py --config robustness
 echo "=== all JSON lines:"
 grep -h . "$OUT"/*.json 2>/dev/null
