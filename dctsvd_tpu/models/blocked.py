@@ -461,6 +461,49 @@ def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
     return stego, sc, rec
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kfrac", "normalize"))
+def serve_verify_detect_color_prepared(cover_bgr_u8: jax.Array,
+                                       sw: jax.Array, alpha: jax.Array,
+                                       ebasis: jax.Array,
+                                       inv_blk: jax.Array,
+                                       kfrac: float = K_FRAC_DEFAULT,
+                                       normalize: bool = True):
+    """Embed + extract-verify + detect-score a frame batch in ONE
+    dispatch — the full per-batch production step (ship the stego only if
+    the mark both recovers and scores). Returns (stego u8 [..., H, W, 3],
+    sc [..., 3, N, 8], recovered wm u8 [..., H, W, 3], scores [...]).
+
+    The detect tail re-uses the SAME stego spectrum the fused roundtrip
+    kernel already computed for verification (s_cw) — scoring adds only
+    the [.., 3, N, k] band-NC reduction, no third pass over the frames —
+    and equals detect_color on the produced stego exactly (both sides
+    compute the spectrum from the identical u8 view)."""
+    h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
+    k = k_of_block(kfrac)
+    aligned = h % BLOCK == 0 and w % BLOCK == 0
+    if _use_fused() and aligned:
+        from dctsvd_tpu.ops import wm_pallas
+        mask = (jnp.arange(BLOCK) < k).astype(jnp.float32)
+        sws = _scaled_sws(sw, alpha, mask)
+        stego, sc, s_cw = wm_pallas.roundtrip_frames_blocks.__wrapped__(
+            cover_bgr_u8, sws, k=k, sweeps=_FUSED_SWEEPS)
+        rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
+                                     kfrac, normalize, h, w, sw=sw,
+                                     to_frames=True, out_u8=True)
+    else:
+        stego, sc, _, _ = embed_color_prepared.__wrapped__(
+            cover_bgr_u8, sw, alpha, kfrac=kfrac, with_metrics=False)
+        s_cw = _frames_spectrum(stego)
+        rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
+                                     kfrac, normalize, h, w, sw=sw,
+                                     to_frames=True, out_u8=True)
+    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    scores = _band_nc(sw[..., :k], sw_hat,
+                      -(-h // BLOCK), -(-w // BLOCK))
+    return stego, sc, rec, jnp.mean(scores, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("kfrac",))
 def embed_gray(cover_bgr_u8: jax.Array, wm_gray_u8: jax.Array,
                blk_idx: jax.Array, intra_idx: jax.Array, alpha: jax.Array,
@@ -499,8 +542,7 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     k = k_of_block(kfrac)
     mask = jnp.arange(BLOCK) < k
     raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    bad = _erasure_mask(raw, sw, k)
-    sw_hat = _clamp_sw_hat(raw, sw)
+    sw_hat = _shrink_sw_hat(raw, sw, k)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
     # slot order -> natural block order (the only dynamic gather, [N, 8])
     sw_nat = jnp.take(sw_hat, inv_blk, axis=-2)
@@ -510,62 +552,52 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     # inverse DCT with the shared intra-block unshuffle folded in
     wy = dct.idct2_blocks_to_plane(wm_blocks, hp, wp,
                                    row_perm=inv_intra)[..., :h, :w]
-    bad_nat = None if bad is None else jnp.take(bad, inv_blk, axis=-1)
-    return _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
+    return _normalize_plane(wy, normalize)
 
 
-def _erasure_mask(raw: jax.Array, sw: Optional[jax.Array],
-                  k: int) -> Optional[jax.Array]:
-    """[..., N] bool: True for block slots whose RAW ŝw estimate is so far
-    outside the stored Sw that the block's content must have been
-    destroyed (crop/blank/replace), not merely degraded.
+def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
+                   k: int) -> jax.Array:
+    """Wiener-style per-block shrinkage of the raw recovered estimate
+    toward the stored Sw (VERDICT r3 #6 — replaces the hard clamp +
+    erasure threshold pair).
 
-    A destroyed block's (s_cw − sc)/α is the spectrum delta of unrelated
-    content divided by a small α — orders of magnitude beyond any embedded
-    value — while JPEG/noise perturbations stay within a fraction of the
-    watermark's own scale. The deviation is normalized by the GLOBAL mean
-    top singular value of the watermark (per-block sw[n, 0] can be
-    legitimately tiny for dark watermark regions, which would false-flag
-    intact blocks). Threshold 2.0: measured JPEG-q50 deviations sit near
-    0.1–0.3 of that scale, destroyed blocks at 10–1000x."""
+    The embedded values are KNOWN at extraction (the meta stores Sw), so
+    ŝw is a measurement of a known signal: the MAP blend
+    ``ref + w·(raw − ref)`` with confidence ``w = 1/(1 + (dev/s)²)``
+    keeps the measurement where it is plausible and falls back to the
+    prior where the block's content was destroyed. ``dev`` is the
+    block's worst per-component deviation from Sw; ``s`` is anchored on
+    the GLOBAL mean top singular value of the watermark (per-block
+    sw[n,0] can be legitimately tiny for dark watermark regions):
+    measured JPEG-q50/noise deviations sit at 0.1–0.3 of that scale
+    (w ≈ 0.92–0.99 — the measurement passes almost untouched), destroyed
+    blocks at 10–1000× (w → 0 — repainted as the prior instead of the
+    old neutral gray). The blend also bounds the output automatically
+    (max |w·(raw−ref)| = s/2 at dev = s), so the min–max normalization
+    needs no erasure mask: A/B vs the clamp+erasure pair on the 512²
+    sweep (tools/exp_shrink.py) moved 25 %-crop extraction NC
+    0.763 → 0.97+ with clean/JPEG/noise unchanged. Elementwise —
+    no sort/median — so the serving extract tail pays ~nothing."""
     if sw is None:
-        return None
-    ref = jnp.broadcast_to(sw, raw.shape)[..., :k]
-    scale = jnp.mean(ref[..., 0], axis=-1, keepdims=True)[..., None] + 1e-6
-    dev = jnp.max(jnp.abs(raw[..., :k] - ref), axis=-1)
-    return dev > 2.0 * scale[..., 0]
+        return raw
+    ref = jnp.broadcast_to(sw, raw.shape)
+    scale = (jnp.mean(ref[..., 0], axis=-1, keepdims=True)[..., None]
+             + 1e-6)
+    dev = jnp.max(jnp.abs(raw[..., :k] - ref[..., :k]), axis=-1,
+                  keepdims=True)
+    wgt = 1.0 / (1.0 + (dev / scale) ** 2)
+    return ref + wgt * (raw - ref)
 
 
-def _masked_normalize(wy: jax.Array, bad_nat: Optional[jax.Array],
-                      hp: int, wp: int, h: int, w: int,
-                      normalize: bool) -> jax.Array:
-    """Normalization tail with erasure handling (VERDICT r2 #4): pixels of
-    destroyed blocks are excluded from the min–max window and repainted as
-    the neutral mid-gray of the surviving range, so localized damage can
-    no longer crush the intact blocks' contrast. ``bad_nat`` is the
-    NATURAL-block-order erasure mask ([..., N]) or None (no sw known —
-    legacy behavior, plain min–max)."""
-    if bad_nat is None:
-        if not normalize:
-            return wy
-        lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
-        hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
-        return (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
-    mask8 = jnp.broadcast_to(bad_nat[..., None, None],
-                             (*bad_nat.shape, BLOCK, BLOCK))
-    mask = dct.unblockify(mask8.astype(jnp.float32), hp, wp)[..., :h, :w]
-    bad_pix = mask > 0.5
+def _normalize_plane(wy: jax.Array, normalize: bool) -> jax.Array:
+    """Plain min–max normalization to [0, 255] (the reference's extract
+    epilogue, app_dct_svd_single.py:218-221). Destroyed-block outliers no
+    longer need excluding from the window: _shrink_sw_hat bounds every
+    estimate to within s/2 of the stored Sw before reconstruction."""
     if not normalize:
-        return jnp.where(bad_pix, 0.0, wy)
-    lo = jnp.min(jnp.where(bad_pix, jnp.inf, wy), axis=(-2, -1),
-                 keepdims=True)
-    hi = jnp.max(jnp.where(bad_pix, -jnp.inf, wy), axis=(-2, -1),
-                 keepdims=True)
-    # every block flagged (pathological) -> fall back to the plain window
-    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
-    lo = jnp.where(ok, lo, jnp.min(wy, axis=(-2, -1), keepdims=True))
-    hi = jnp.where(ok, hi, jnp.max(wy, axis=(-2, -1), keepdims=True))
-    wy = jnp.where(bad_pix, (lo + hi) * 0.5, wy)
+        return wy
+    lo = jnp.min(wy, axis=(-2, -1), keepdims=True)
+    hi = jnp.max(wy, axis=(-2, -1), keepdims=True)
     return (wy - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
 
 
@@ -584,32 +616,16 @@ def _permute_slots(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.transpose(y, (1, 0, 2)).reshape(*lead, n, k)
 
 
-def _normalize_blocks(blocks: jax.Array, bad_nat: Optional[jax.Array],
-                      normalize: bool) -> jax.Array:
-    """Block-level form of :func:`_masked_normalize` for block-aligned
-    planes: identical arithmetic (min/max over good pixels equals the
-    min/max over good blocks' per-block extrema; min/max reductions are
-    order-exact in floating point), no plane-sized mask, and the
-    reductions run on the [..., N, 64] tensor the recon einsum just
-    produced. ``blocks`` [..., N, 64]; ``bad_nat`` [..., N] or None."""
-    if bad_nat is None:
-        if not normalize:
-            return blocks
-        lo = jnp.min(blocks, axis=(-2, -1), keepdims=True)
-        hi = jnp.max(blocks, axis=(-2, -1), keepdims=True)
-        return (blocks - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
-    bad = bad_nat[..., None]
+def _normalize_blocks(blocks: jax.Array, normalize: bool) -> jax.Array:
+    """Block-level form of :func:`_normalize_plane` for block-aligned
+    planes: identical arithmetic (min/max reductions are order-exact in
+    floating point), and the reductions run on the [..., N, 64] tensor
+    the recon einsum just produced instead of a second full-plane pass.
+    ``blocks`` [..., N, 64]."""
     if not normalize:
-        return jnp.where(bad, 0.0, blocks)
-    bmin = jnp.min(blocks, axis=-1)                      # [..., N]
-    bmax = jnp.max(blocks, axis=-1)
-    lo = jnp.min(jnp.where(bad_nat, jnp.inf, bmin), axis=-1, keepdims=True)
-    hi = jnp.max(jnp.where(bad_nat, -jnp.inf, bmax), axis=-1, keepdims=True)
-    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
-    lo = jnp.where(ok, lo, jnp.min(bmin, axis=-1, keepdims=True))
-    hi = jnp.where(ok, hi, jnp.max(bmax, axis=-1, keepdims=True))
-    lo, hi = lo[..., None], hi[..., None]                # [..., 1, 1]
-    blocks = jnp.where(bad, (lo + hi) * 0.5, blocks)
+        return blocks
+    lo = jnp.min(blocks, axis=(-2, -1), keepdims=True)
+    hi = jnp.max(blocks, axis=(-2, -1), keepdims=True)
     return (blocks - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
 
 
@@ -623,24 +639,6 @@ def _unblockify_to_frames(blocks: jax.Array, hp: int, wp: int) -> jax.Array:
     nd = x.ndim
     perm = (*range(nd - 5), nd - 4, nd - 2, nd - 3, nd - 1, nd - 5)
     return jnp.transpose(x, perm).reshape(*lead, hp, wp, c)
-
-
-def _clamp_sw_hat(sw_hat: jax.Array, sw: Optional[jax.Array]) -> jax.Array:
-    """Robustify the recovered estimate against locally-destroyed blocks.
-
-    A blanked/cropped region's blocks yield |ŝw| orders of magnitude above
-    any embedded value ((s_cw − sc)/α of destroyed content), and a handful
-    of such outliers hijack the min–max normalization — a 25%-row crop
-    measured extraction NC −0.15 at 4K even though the keyed block
-    permutation scatters the damage uniformly. The embedded values are
-    KNOWN at extraction (the meta stores Sw), so the estimate is clamped
-    per slot/component to [−0.5·sw, 1.5·sw]: intact blocks (ŝw ≈ sw ±
-    codec noise) are essentially untouched, destroyed blocks degrade into
-    bounded noise instead of normalization-wrecking outliers."""
-    if sw is None:
-        return sw_hat
-    ref = jnp.broadcast_to(sw, sw_hat.shape)
-    return jnp.clip(sw_hat, -0.5 * ref, 1.5 * ref)
 
 
 def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
@@ -675,17 +673,8 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
     raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    bad = _erasure_mask(raw, sw, k)
-    sw_hat = _clamp_sw_hat(raw, sw)[..., :k]
-    if bad is None:
-        sw_nat = _permute_slots(sw_hat, inv_blk)
-        bad_nat = None
-    else:
-        # one gather for both: the bad mask rides as a (k+1)-th column
-        combo = jnp.concatenate(
-            [sw_hat, bad.astype(jnp.float32)[..., None]], axis=-1)
-        combo = _permute_slots(combo, inv_blk)
-        sw_nat, bad_nat = combo[..., :k], combo[..., k] > 0.5
+    sw_hat = _shrink_sw_hat(raw, sw, k)[..., :k]
+    sw_nat = _permute_slots(sw_hat, inv_blk)
     # The contraction runs with the block's 64 pixels FLATTENED on the
     # minor axis: with 8-sized minor dims XLA hands the dot output a
     # T(8,128)-padded layout at 4K (16x expansion -> 11.9 GB HBM OOM,
@@ -698,13 +687,11 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     if (hp, wp) == (h, w):
         # Block-aligned sizes (all the serving shapes): normalize on the
         # [..., N, 64] block tensor BEFORE the unblockify transpose —
-        # min/max over good pixels == min over good blocks' mins, and the
-        # erasure repaint broadcasts a [..., N] mask instead of
-        # materializing a plane-sized pixel mask. With ``out_u8`` the
-        # clip+cast also happens pre-transpose, so the unblockify moves
-        # u8 bytes (1/4 the traffic). Cuts the tail's full-plane f32
-        # passes from ~6 to 2.
-        blocks = _normalize_blocks(blocks, bad_nat, normalize)
+        # min/max over all pixels == min/max over per-block extrema. With
+        # ``out_u8`` the clip+cast also happens pre-transpose, so the
+        # unblockify moves u8 bytes (1/4 the traffic). Cuts the tail's
+        # full-plane f32 passes from ~6 to 2.
+        blocks = _normalize_blocks(blocks, normalize)
         if out_u8:
             blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
         blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
@@ -713,7 +700,7 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
         return dct.unblockify(blocks, hp, wp)
     blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
     wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
-    wy = _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
+    wy = _normalize_plane(wy, normalize)
     if out_u8:
         wy = jnp.clip(wy, 0, 255).astype(jnp.uint8)
     return jnp.moveaxis(wy, -3, -1) if to_frames else wy
@@ -730,7 +717,7 @@ def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
     """Gray extract against a PreparedWatermark's pixel basis (serving
     fast path; same result as extract_gray). Pass ``sw`` (the stored
     watermark SVs, slot order) to clamp outliers from locally-destroyed
-    blocks — see _clamp_sw_hat."""
+    blocks — see _shrink_sw_hat."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     return _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,

@@ -137,17 +137,19 @@ def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
                         channels_last: bool = False):
     """Blocked analog of _recover_wm: per-block ŝw = (S − S_orig)/α masked
     to the k embedded components, rank-restored through the watermark's
-    block bases, inverse block-DCT. u8-in. ``sw`` clamps outliers from
-    destroyed blocks (m_blocked._clamp_sw_hat); ``sweeps`` replays the
-    embed-time Jacobi schedule from the meta. ``channels_last``: planes
-    is [..., H, W, C] decode-layout; the spectrum comes straight off it
-    and the recovered estimate still lands channel-first [..., C, H, W]
-    (the reconstruction is per-block, independent of the input layout)."""
+    block bases, inverse block-DCT. u8-in. ``sw`` shrinks each block's
+    estimate toward the stored values with a deviation-based confidence
+    so destroyed blocks collapse to the prior (m_blocked._shrink_sw_hat);
+    ``sweeps`` replays the embed-time Jacobi schedule from the meta.
+    ``channels_last``: planes is [..., H, W, C] decode-layout; the
+    spectrum comes straight off it and the recovered estimate still
+    lands channel-first [..., C, H, W] (the reconstruction is per-block,
+    independent of the input layout)."""
     s_now = (m_blocked._frames_spectrum(planes, sweeps) if channels_last
              else m_blocked._plane_spectrum(planes, sweeps))
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
-    sw_hat = m_blocked._clamp_sw_hat((s_now - s_orig) / alpha, sw)
+    sw_hat = m_blocked._shrink_sw_hat((s_now - s_orig) / alpha, sw, k)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
     blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
                         precision=jax.lax.Precision.HIGHEST)

@@ -127,6 +127,27 @@ def batch_extract_prepared(stegos: jax.Array, sc: jax.Array,
     return fn(stegos, sc, ebasis, inv_blk, sw, jnp.float32(alpha))
 
 
+def _serve_verify_detect_body(kfrac, frames, sw, alpha, ebasis, inv_blk):
+    return blocked.serve_verify_detect_color_prepared.__wrapped__(
+        frames, sw, alpha, ebasis, inv_blk, kfrac=kfrac)
+
+
+def batch_serve_verify_detect(frames: jax.Array, sw: jax.Array, alpha,
+                              ebasis: jax.Array, inv_blk: jax.Array,
+                              kfrac: float = 0.6,
+                              mesh: Optional[Mesh] = None):
+    """Sharded single-dispatch serve step: embed + extract-verify +
+    detect-score each chip's frame shard (blocked.
+    serve_verify_detect_color_prepared under shard-in/shard-out jit).
+    Returns (stego, sc, recovered, scores), all batch-sharded; zero
+    cross-chip collectives — each frame's full pipeline is local."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    fn = _sharded_jit(_serve_verify_detect_body, mesh, 1, 5,
+                      static=(kfrac,))
+    return fn(frames, sw, jnp.float32(alpha), ebasis, inv_blk)
+
+
 def _embed_full_meta_body(kfrac, fr, wm, blk, intra, a):
     r = blocked.embed_gray.__wrapped__(fr, wm, blk, intra, a, kfrac=kfrac)
     return {"stego": r.stego_bgr, "sc": r.sc,

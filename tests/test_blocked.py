@@ -164,11 +164,13 @@ def test_api_blocked_roundtrip(tmp_path, make_image):
 
 def test_crop_damage_extraction_clamped(make_image, rng):
     """Locally-destroyed blocks (25% of rows blanked) must not wreck
-    extraction: the keyed block permutation scatters the damage, the sw
-    clamp (_clamp_sw_hat) bounds their estimates, and the erasure mask
-    (_erasure_mask, VERDICT r2 #4) excludes them from the min-max window
-    and repaints them neutral gray. Without the clamp this measured
-    NC ~ -0.15; clamp alone ~ +0.5; with erasure handling ~ 0.8."""
+    extraction: the keyed block permutation scatters the damage and the
+    Wiener-style shrinkage (_shrink_sw_hat, VERDICT r3 #6) blends each
+    block's estimate toward the stored Sw with a deviation-based
+    confidence — destroyed blocks (deviation 10-1000x the watermark
+    scale) collapse to the prior instead of wrecking the min-max window.
+    History: raw estimate NC ~ -0.15; hard clamp ~ +0.5; clamp+erasure
+    repaint ~ 0.8 (rounds 2-3); shrinkage ~ 0.95+."""
     import cv2
     from dctsvd_tpu.utils import crypto
 
@@ -193,7 +195,7 @@ def test_crop_damage_extraction_clamped(make_image, rng):
     a = rec.astype(np.float32) - rec.mean()
     b = wm.astype(np.float32) - wm.mean()
     nc = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
-    assert nc > 0.65, nc
+    assert nc > 0.9, nc
 
     # the erasure path must not disturb a clean extraction
     rec_clean = np.asarray(blocked.extract_gray(
@@ -276,3 +278,23 @@ def test_detect_unrelated_host_scale_gate(make_image, rng):
         ".jpg", stego, [cv2.IMWRITE_JPEG_QUALITY, 50])[1], cv2.IMREAD_COLOR)
     assert float(blocked.detect_gray(jnp.asarray(jpg), res.sc, res.sw,
                                      alpha)) > 0.7
+
+
+def test_serve_verify_detect_matches_split(make_image):
+    """serve_verify_detect_color_prepared (the single-dispatch
+    embed+verify+score production step) must equal the split
+    embed -> extract -> detect calls on its produced stego."""
+    cover, wm, _, key, (blk, intra), (iblk, _) = _setup(make_image, 64, 80)
+    alpha = jnp.float32(0.12)
+    pwc = blocked.prepare_wm_color(jnp.asarray(wm), blk, intra)
+    stego, sc, rec, scores = blocked.serve_verify_detect_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha, pwc.ebasis, iblk)
+    stego2, sc2, _, _ = blocked.embed_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha, with_metrics=False)
+    rec2 = blocked.extract_color_prepared(stego2, sc2, pwc.ebasis, iblk,
+                                          alpha, sw=pwc.sw)
+    score2 = blocked.detect_color(stego2, sc2, pwc.sw, alpha)
+    np.testing.assert_array_equal(np.asarray(stego), np.asarray(stego2))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+    np.testing.assert_allclose(float(scores), float(score2), atol=1e-5)
+    assert float(scores) > 0.8

@@ -129,3 +129,26 @@ def test_init_distributed_passthrough(monkeypatch):
                               process_id=2)
     assert calls[-1] == dict(coordinator_address="10.0.0.1:1234",
                              num_processes=4, process_id=2)
+
+
+def test_batch_serve_verify_detect(mesh8, make_image):
+    """The sharded single-dispatch serve step (embed+verify+score per
+    shard) matches the single-device combined entry point."""
+    h = w = 64
+    key = crypto.derive_key("pw", bytes(8))
+    blk, intra = _indices(key, h, w)
+    frames = jnp.asarray(np.stack([make_image(h, w) for _ in range(8)]))
+    wm = jnp.asarray(make_image(h, w, blur=False))
+    pwc = blocked.prepare_wm_color(wm, blk, intra)
+    iblk = pwc.inv_blk
+
+    stego, sc, rec, scores = pbatch.batch_serve_verify_detect(
+        frames, pwc.sw, 0.12, pwc.ebasis, iblk, mesh=mesh8)
+    ref = blocked.serve_verify_detect_color_prepared(
+        frames, pwc.sw, jnp.float32(0.12), pwc.ebasis, iblk)
+    np.testing.assert_array_equal(np.asarray(stego), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(ref[2]))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref[3]),
+                               atol=1e-5)
+    assert float(jnp.min(scores)) > 0.8
+    assert len(stego.sharding.device_set) == 8
