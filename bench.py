@@ -352,11 +352,15 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
     (VERDICT r3 #3): the blocked detect statistic changed from one global
     NC to a median of 16 spatial-band NCs, but the reference's 0.6
     threshold was carried over unexamined. Scores ``n_hosts`` distinct
-    clean hosts (negatives: each original host against its own meta, and
-    against an UNRELATED host's meta) and watermarked+attacked stegos
-    (positives: clean/JPEG-q50/noise-σ5/25%-crop) across the alpha grid,
-    then reports the two distributions, the separation margin, and
-    whether threshold 0.6 gives FPR=0 / TPR=1.
+    clean hosts as negatives — each original against its own meta, the
+    original PERTURBED without the mark (brightness +6, JPEG-q70, σ3
+    noise: the re-encoded-original false-positive class the round-4
+    characterization caught scoring 0.93–0.998 pre-gates), and
+    cross-family AND same-family unrelated hosts — and
+    watermarked+attacked stegos as positives
+    (clean/JPEG-q50/noise-σ5/25%-crop) across the alpha grid, then
+    reports the two distributions, the separation margin, and whether
+    threshold 0.6 gives FPR=0 / TPR=1.
     Match: detect contract, ref app_dct_svd_single.py:284-318."""
     import cv2
     import jax.numpy as jnp
@@ -389,14 +393,25 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
             stego, sc, _, _ = blocked.embed_gray_prepared(
                 hosts_d, pw.sw, alpha, with_metrics=False)
             stego_np = np.asarray(stego)
-            # negatives: the un-watermarked original scored against its
-            # own meta (worst case: s_cw − sc ≈ 0 noise), and each meta
-            # against a DIFFERENT clean host (unrelated content)
-            neg.extend(np.asarray(blocked.detect_gray(
-                hosts_d, sc, pw.sw, alpha)).tolist())
-            neg.extend(np.asarray(blocked.detect_gray(
-                jnp.asarray(np.roll(hosts, 1, axis=0)), sc, pw.sw,
-                alpha)).tolist())
+            # negatives: the un-watermarked original against its own meta
+            # (delta ≈ 0), the original perturbed WITHOUT the mark
+            # (brightness / re-encode / noise — profile-shaped deltas),
+            # and unrelated hosts both cross-family (roll 1) and
+            # same-family (roll 4; family = index % 4)
+            bright = np.clip(hosts.astype(np.int16) + 6, 0,
+                             255).astype(np.uint8)
+            jorig = np.stack([
+                cv2.imdecode(cv2.imencode(
+                    ".jpg", x, [cv2.IMWRITE_JPEG_QUALITY, 70])[1],
+                    cv2.IMREAD_COLOR) for x in hosts])
+            norig = np.clip(hosts.astype(np.float32)
+                            + rng.normal(0, 3, hosts.shape),
+                            0, 255).astype(np.uint8)
+            for neg_batch in (hosts, bright, jorig, norig,
+                              np.roll(hosts, 1, axis=0),
+                              np.roll(hosts, 4, axis=0)):
+                neg.extend(np.asarray(blocked.detect_gray(
+                    jnp.asarray(neg_batch), sc, pw.sw, alpha)).tolist())
             # positives: the stego under no attack and the three attacks
             jpeg = np.stack([
                 cv2.imdecode(cv2.imencode(

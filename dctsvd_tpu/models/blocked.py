@@ -795,10 +795,40 @@ def band_scale_damp(sw_bands: jax.Array, hat_bands: jax.Array) -> jax.Array:
     return 1.0 / (1.0 + over ** 4)
 
 
+def band_presence_damp(sw_bands: jax.Array,
+                       hat_bands: jax.Array) -> jax.Array:
+    """Per-band watermark-PRESENCE weight in [0, 1]: the keyed
+    block-to-block gate that closes the detector's remaining
+    false-positive class (round-4 ROC characterization).
+
+    The band NC and the scale gate both measure agreement with Sw's
+    MAGNITUDE STRUCTURE — the within-block singular-value profile plus
+    overall scale — which any energy-raising perturbation of the
+    UN-watermarked original also matches: a +6 brightness shift, a JPEG
+    re-encode, or σ3 noise on the clean host scored 0.93–0.998 against
+    its own meta (their delta spectrum is profile-shaped, and at the
+    magnitude-matched point even the residual ratio dips to ~0.4). What
+    none of them can fake is Sw's BLOCK-TO-BLOCK variation, which the
+    keyed permutation makes independent of any content: ρ0 = Pearson
+    (over the band's blocks) between the top components ŝw[:, 0] and
+    Sw[:, 0] measures exactly that. Measured (512², alpha 0.10–0.22):
+    genuine stegos ρ0 = 0.53–0.97 even under JPEG-q30; every mark-free
+    negative (self, brightness +3/+6/+12/+24, JPEG-q70 or σ3 of the
+    original, unrelated content) ρ0 = 0.00 ± 0.01. Only the j=0
+    component is used — under attack the sub-dominant components'
+    deviations (divided by α) swamp their small keyed variation (ŝw_j≥1
+    SNR ~0.06 at JPEG-q50/α=0.10 vs ~1 for j=0). Ramp: 0 below
+    ρ0=0.05, full weight above 0.35 (genuine bands sit well above;
+    chance-level bands well below)."""
+    rho0 = metrics.nc(sw_bands[..., 0], hat_bands[..., 0])
+    return jnp.clip((rho0 - 0.05) / 0.30, 0.0, 1.0)
+
+
 def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
              grid: int = 4) -> jax.Array:
-    """Median over a grid of spatial-band NCs (each damped by
-    :func:`band_scale_damp`) instead of one global NC.
+    """Median over a grid of spatial bands of gated NCs: per band,
+    NC · scale-consistency (:func:`band_scale_damp`) · keyed-presence
+    (:func:`band_presence_damp`).
 
     A global NC over all blocks is dragged negative by localized damage
     (cropping/blanking 25% of a frame scored −0.26 on an otherwise intact
@@ -807,7 +837,14 @@ def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
     variance) and taking the MEDIAN makes the score immune to any minority
     of destroyed bands — a 25% row or column crop kills at most 4 of 16 —
     while matching the global NC for uniform attacks (JPEG/noise) and
-    staying ~0 on clean hosts (every band is ~0).
+    staying ~0 on clean hosts. The two gates close the scale-invariance
+    and profile-matching false-positive classes the round-4 ROC
+    characterization found (see their docstrings); on the measured
+    battery every positive (clean/JPEG-q50/q30/noise-σ5/crop ×
+    alpha 0.10–0.22) keeps ≥ 0.82 while every negative scores 0.00.
+    Caveat, documented: a watermark with NO block-to-block variation (a
+    constant image) is indistinguishable in principle from a brightness
+    shift and scores 0 — it also carries no recoverable information.
     """
     sw = jnp.broadcast_to(sw, sw_hat.shape)
     *lead, n, b = sw_hat.shape
@@ -818,11 +855,15 @@ def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
         x = x.reshape(*lead, hb, wb, b)[..., :g * gh, :g * gw, :]
         x = x.reshape(*lead, g, gh, g, gw, b)
         x = jnp.swapaxes(x, -4, -3)                  # [..., g, g, gh, gw, b]
-        return x.reshape(*lead, g * g, gh * gw * b)
+        return x.reshape(*lead, g * g, gh * gw, b)
 
     sw_b, hat_b = to_bands(sw), to_bands(sw_hat)
-    bands = metrics.nc(sw_b, hat_b)                  # [..., g*g]
-    return jnp.median(bands * band_scale_damp(sw_b, hat_b), axis=-1)
+    sw_f = sw_b.reshape(*sw_b.shape[:-2], -1)
+    hat_f = hat_b.reshape(*hat_b.shape[:-2], -1)
+    bands = (metrics.nc(sw_f, hat_f)
+             * band_scale_damp(sw_f, hat_f)
+             * band_presence_damp(sw_b, hat_b))
+    return jnp.median(bands, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("kfrac", "sweeps"))

@@ -101,11 +101,14 @@ def _detect_body(grid, sweeps, stego_band, sc_band, sw_band, alpha):
         x = x.reshape(hb_local, wb, BLOCK)[:g * gh, :g * gw, :]
         x = x.reshape(g, gh, g, gw, BLOCK)
         x = jnp.swapaxes(x, 1, 2)
-        return x.reshape(g * g, gh * gw * BLOCK)
+        return x.reshape(g * g, gh * gw, BLOCK)
 
     sw_bands, hat_bands = to_bands(sw_b), to_bands(sw_hat)
-    bands = (metrics.nc(sw_bands, hat_bands)                   # [g*g]
-             * blocked.band_scale_damp(sw_bands, hat_bands))
+    sw_f = sw_bands.reshape(g * g, -1)
+    hat_f = hat_bands.reshape(g * g, -1)
+    bands = (metrics.nc(sw_f, hat_f)                           # [g*g]
+             * blocked.band_scale_damp(sw_f, hat_f)
+             * blocked.band_presence_damp(sw_bands, hat_bands))
     all_bands = jax.lax.all_gather(bands, mesh_lib.BATCH_AXIS)  # [n, g*g]
     return jnp.median(all_bands.reshape(-1))
 

@@ -242,14 +242,16 @@ def test_serve_verify_matches_split(make_image):
     assert rec.dtype == jnp.uint8 and stego.dtype == jnp.uint8
 
 
-def test_detect_unrelated_host_scale_gate(make_image, rng):
-    """The band NC is scale-invariant, so an UNRELATED image's delta
-    spectrum ((s_cw(other) − sc)/α, content-scale over a small α) could
-    score up to ±0.79 through the shared within-block singular-value
-    profile (round-4 ROC characterization). band_scale_damp gates each
-    band by the recovered magnitude's consistency with ‖Sw‖: unrelated
-    hosts must now score well under the 0.6 threshold while genuine
-    stegos (incl. JPEG'd) stay above it."""
+def test_detect_mark_free_negatives_gated(make_image, rng):
+    """Mark-free images must score near 0 even when their delta spectrum
+    mimics the watermark's magnitude structure (round-4 ROC
+    characterization): UNRELATED content scored up to ±0.79 through the
+    scale-invariant NC's profile sensitivity (closed by
+    band_scale_damp), and PERTURBED ORIGINALS — the clean host
+    brightened, re-JPEG'd, or noised, scored against its own meta — up
+    to 0.998 (profile-shaped energy deltas; closed by
+    band_presence_damp's keyed block-to-block ρ0 gate). Genuine stegos
+    (incl. JPEG-q50'd) must stay above the 0.6 threshold."""
     import cv2
     h = w = 128
     cover, wm, wm_gray, key, (blk, intra), _ = _setup(make_image, h, w)
@@ -257,20 +259,30 @@ def test_detect_unrelated_host_scale_gate(make_image, rng):
     res = blocked.embed_gray(jnp.asarray(cover), jnp.asarray(wm_gray),
                              blk, intra, alpha)
 
-    # worst-case unrelated content: different families, both directions
-    others = [
+    # unrelated content: different families, both directions
+    negatives = [
         rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
         cv2.GaussianBlur(rng.integers(0, 256, (h, w, 3), np.uint8)
                          .astype(np.uint8), (0, 0), 4),
         np.clip(np.linspace(0, 255, h)[:, None, None]
                 + np.zeros((h, w, 3)), 0, 255).astype(np.uint8),
+        # perturbed originals (mark never embedded) — including the
+        # magnitude-matched brightness window that defeats the scale
+        # gate alone
+        np.clip(cover.astype(np.int16) + 3, 0, 255).astype(np.uint8),
+        np.clip(cover.astype(np.int16) + 12, 0, 255).astype(np.uint8),
+        cv2.imdecode(cv2.imencode(
+            ".jpg", cover, [cv2.IMWRITE_JPEG_QUALITY, 70])[1],
+            cv2.IMREAD_COLOR),
+        np.clip(cover.astype(np.float32)
+                + rng.normal(0, 3, cover.shape), 0, 255).astype(np.uint8),
     ]
-    for other in others:
+    for other in negatives:
         s = float(blocked.detect_gray(jnp.asarray(other), res.sc, res.sw,
                                       alpha))
         assert abs(s) < 0.5, s
 
-    # the gate must not damp genuine positives
+    # the gates must not damp genuine positives
     stego = np.asarray(res.stego_bgr)
     assert float(blocked.detect_gray(jnp.asarray(stego), res.sc, res.sw,
                                      alpha)) > 0.8
