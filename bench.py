@@ -445,8 +445,13 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
                 "p1": round(float(np.percentile(pos_a, 1)), 4),
                 "mean": round(float(pos_a.mean()), 4)},
         "separation_margin": round(float(pos_a.min() - neg_a.max()), 4),
+        # 0.6 = the reference's threshold (parity modes keep it);
+        # 0.30 = the blocked mode's ROC-backed default
+        # (utils/config.DETECT_THRESH_BLOCKED)
         "fpr_at_0.6": round(float(np.mean(neg_a >= 0.6)), 4),
         "tpr_at_0.6": round(float(np.mean(pos_a >= 0.6)), 4),
+        "fpr_at_0.30": round(float(np.mean(neg_a >= 0.30)), 4),
+        "tpr_at_0.30": round(float(np.mean(pos_a >= 0.30)), 4),
         "suggested_threshold": round(
             float((pos_a.min() + neg_a.max()) / 2), 4),
     }
@@ -715,14 +720,14 @@ def main():
         print(json.dumps({
             "metric": "blocked band-median detect operating point: "
                       "separation margin (min attacked-stego score - max "
-                      "clean-host score) over "
+                      "mark-free score incl. perturbed originals) over "
                       f"{stats['n_clean_hosts']} varied clean hosts x "
-                      "alpha 0.10-0.22; threshold 0.6 holds iff "
-                      "fpr=0/tpr=1 (logged table)",
+                      "alpha 0.10-0.22; blocked default threshold 0.30 "
+                      "holds iff fpr=0/tpr=1 (logged table)",
             "value": stats["separation_margin"], "unit": "NC score",
-            # how comfortably the worst positive clears the reference
-            # threshold (>1 = holds with margin)
-            "vs_baseline": round(stats["pos"]["min"] / 0.6, 2)}))
+            # how comfortably the worst positive clears the blocked
+            # mode's ROC-backed threshold (>1 = holds with margin)
+            "vs_baseline": round(stats["pos"]["min"] / 0.30, 2)}))
     elif args.config == "8k-plane":
         fps = bench_8k_plane()
         # reference model: 16x the 1080p pixels -> 16x the measured CPU

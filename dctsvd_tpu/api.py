@@ -184,14 +184,28 @@ def extract(stego_path: str, meta_path: str, out_path: str,
 
 
 def detect(stego_path: str, meta_path: str,
-           thresh: float = DETECT_THRESH_DEFAULT) -> Tuple[bool, float]:
-    """No-password NC detection (ref: app_dct_svd_single.py:291-318)."""
+           thresh: Optional[float] = None) -> Tuple[bool, float]:
+    """No-password NC detection (ref: app_dct_svd_single.py:291-318).
+
+    Parity-mode metas score with the reference's global NC against its
+    0.6 threshold. Blocked-mode metas score with the hardened
+    band-median statistic (models/blocked._band_nc: per-band NC gated by
+    scale consistency and keyed-presence) against the ROC-backed 0.30
+    (utils/config.DETECT_THRESH_BLOCKED — mark-free negatives ≤ 0.03,
+    attacked positives ≥ 0.375 over 240 hosts × the alpha grid;
+    ``bench.py --config detect-roc`` reproduces the table). An explicit
+    ``thresh`` overrides either default."""
     meta = metaio.load_meta(meta_path)
     stego = image_io.read_bgr(stego_path)
 
     if meta.is_blocked:
         from dctsvd_tpu.models import blocked as m_blocked
-        return m_blocked.detect_paths(stego, meta, thresh)
+        from dctsvd_tpu.utils.config import DETECT_THRESH_BLOCKED
+        return m_blocked.detect_paths(
+            stego, meta,
+            DETECT_THRESH_BLOCKED if thresh is None else thresh)
+    if thresh is None:
+        thresh = DETECT_THRESH_DEFAULT
 
     alpha = jnp.float32(meta.alpha)
     _uw, _vwt, sw = meta.wm_basis_stacked()

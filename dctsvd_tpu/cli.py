@@ -15,7 +15,7 @@ import os
 import sys
 
 from dctsvd_tpu.utils.config import (
-    ALPHA_GUI_DEFAULT, ALPHA_VIDEO_DEFAULT, DETECT_THRESH_DEFAULT,
+    ALPHA_GUI_DEFAULT, ALPHA_VIDEO_DEFAULT,
     FONT_SIZE_DEFAULT, FRAME_INTERVAL_DEFAULT, K_FRAC_DEFAULT)
 
 
@@ -72,8 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("detect", help="no-password NC detection")
     p.add_argument("stego")
     p.add_argument("meta")
-    p.add_argument("--thresh", type=float,
-                   default=DETECT_THRESH_DEFAULT)
+    p.add_argument("--thresh", type=float, default=None,
+                   help="decision threshold (default: 0.6 for parity "
+                   "metas — the reference's — and the ROC-backed 0.30 "
+                   "for blocked metas)")
 
     p = sub.add_parser("embed-payload", help="embed text/JSON payload")
     p.add_argument("cover")

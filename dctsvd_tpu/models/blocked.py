@@ -576,8 +576,31 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     (max |w·(raw−ref)| = s/2 at dev = s), so the min–max normalization
     needs no erasure mask: A/B vs the clamp+erasure pair on the 512²
     sweep (tools/exp_shrink.py) moved 25 %-crop extraction NC
-    0.763 → 0.97+ with clean/JPEG/noise unchanged. Elementwise —
-    no sort/median — so the serving extract tail pays ~nothing."""
+    0.763 → 0.97+ with clean/JPEG/noise unchanged. Elementwise plus one
+    small reduction — no sort/median — so the serving tail pays ~nothing.
+
+    The prior is applied ONLY when the mark is actually present: a
+    mark-free input (unrelated image, or the un-watermarked original —
+    where EVERY block deviates hugely) would otherwise shrink wholesale
+    to the stored Sw and extraction would "recover" a near-perfect
+    watermark from an image that never carried it (measured NC 0.997 on
+    an unrelated host). The same keyed block-to-block statistic the
+    detector's presence gate uses (Pearson between recovered and stored
+    top components over all blocks — genuine stegos ≥ 0.5 even under
+    JPEG-q30 at α=0.10, mark-free inputs 0.00 ± 0.01) ramps the
+    shrinkage in over ρ0 ∈ [0.2, 0.3]: present → full MAP blend,
+    absent → the raw (honestly garbage) estimate.
+
+    Caveat (the classic SVD-watermarking false-positive property,
+    amplified by the blocked scheme): even the RAW estimate of a
+    mark-free but profile-shaped delta (e.g. a brightened original —
+    every block's ŝw_0 ≈ the same positive constant) reconstructs a
+    recognizable low-rank watermark silhouette, because reconstruction
+    runs through the stored watermark's own per-block bases and
+    min–max normalization stretches whatever comes out. This is the
+    data speaking through a non-blind basis, not a recoverable mark —
+    ownership/presence decisions must use detect(), whose keyed-presence
+    gate scores exactly these inputs 0.0 (see band_presence_damp)."""
     if sw is None:
         return raw
     ref = jnp.broadcast_to(sw, raw.shape)
@@ -586,6 +609,24 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     dev = jnp.max(jnp.abs(raw[..., :k] - ref[..., :k]), axis=-1,
                   keepdims=True)
     wgt = 1.0 / (1.0 + (dev / scale) ** 2)
+    # ρ0 as a MEDIAN over 16 contiguous block-groups of per-group
+    # Pearson, never one global correlation: (a) a global Pearson is not
+    # robust — a 25%-crop's destroyed blocks carry huge raw values that
+    # crush the covariance and read a genuine damaged stego as mark-free
+    # (measured: crop extraction fell to −0.13); (b) masking the
+    # correlation to blocks that agree with Sw conditions on the outcome
+    # and manufactures ρ0 ≈ 1 for ANY input (measured: unrelated images
+    # leaked back to 0.997). Contiguous n-ranges are spatial row bands,
+    # so localized damage kills a minority of groups and the median
+    # holds; mark-free inputs are ~0 in every group.
+    n = raw.shape[-2]
+    gsz = max(1, n // 16)
+    ng = n // gsz
+    a0 = ref[..., : ng * gsz, 0].reshape(*ref.shape[:-2], ng, gsz)
+    b0 = raw[..., : ng * gsz, 0].reshape(*raw.shape[:-2], ng, gsz)
+    rho0 = jnp.median(metrics.nc(a0, b0), axis=-1)
+    presence = jnp.clip((rho0 - 0.20) / 0.10, 0.0, 1.0)[..., None, None]
+    wgt = 1.0 - presence * (1.0 - wgt)
     return ref + wgt * (raw - ref)
 
 

@@ -310,3 +310,43 @@ def test_serve_verify_detect_matches_split(make_image):
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
     np.testing.assert_allclose(float(scores), float(score2), atol=1e-5)
     assert float(scores) > 0.8
+
+
+def test_extraction_prior_gated_on_presence(make_image, rng):
+    """The shrinkage prior must engage ONLY when the mark is present:
+    a mark-free input (unrelated image, or the clean original) would
+    otherwise deviate hugely in every block, shrink wholesale to the
+    stored Sw, and extraction would 'recover' a near-perfect watermark
+    from an image that never carried it (measured NC 0.997 before the
+    presence ramp). Genuine stegos — including 25%-cropped, whose
+    destroyed blocks must not crush the presence statistic — keep the
+    full MAP blend."""
+    import cv2
+    h = w = 128
+    cover, _, _, key, (blk, intra), _ = _setup(make_image, h, w)
+    wm = np.zeros((h, w), np.uint8)
+    cv2.circle(wm, (w // 2, h // 2), 30, 255, -1)
+    alpha = jnp.float32(0.12)
+    pw = blocked.prepare_wm_gray(jnp.asarray(wm), blk, intra)
+    stego, sc, _, _ = blocked.embed_gray_prepared(
+        jnp.asarray(cover)[None], pw.sw, alpha, with_metrics=False)
+
+    def nc(a, b):
+        a = a.astype(np.float32).ravel() - a.mean()
+        b = b.astype(np.float32).ravel() - b.mean()
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-8))
+
+    def extract(img):
+        return np.asarray(blocked.extract_gray_prepared(
+            jnp.asarray(img)[None], sc, pw.ebasis, pw.inv_blk, alpha,
+            sw=pw.sw))[0]
+
+    s_np = np.asarray(stego)[0]
+    crop = s_np.copy()
+    crop[: h // 4] = 0
+    assert nc(extract(s_np), wm) > 0.9
+    assert nc(extract(crop), wm) > 0.9          # prior active under damage
+    unrel = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+    assert nc(extract(unrel), wm) < 0.5          # no prior leak
+    assert nc(extract(cover), wm) < 0.5          # clean original -> nothing
