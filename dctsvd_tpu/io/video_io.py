@@ -214,10 +214,15 @@ class AsyncEncoder:
         if self._exc is not None:
             # raise a fresh same-type copy chained to the stored
             # exception: repeated re-raises of one object would keep
-            # appending frames onto its single traceback
+            # appending frames onto its single traceback. copy.copy
+            # (not type(exc)(*exc.args)) preserves the exact type AND
+            # attributes (OSError.filename etc.) even for exception
+            # classes whose constructors don't round-trip their args.
+            import copy
             exc = self._exc
             try:
-                new = type(exc)(*exc.args)
+                new = copy.copy(exc)
+                new.__traceback__ = None
             except Exception:
                 new = RuntimeError(f"encoder thread failed: {exc!r}")
             raise new from exc

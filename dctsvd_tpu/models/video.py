@@ -149,7 +149,10 @@ def _recover_wm_blocked(planes: jax.Array, s_orig: jax.Array,
              else m_blocked._plane_spectrum(planes, sweeps))
     k = m_blocked.k_of_block(kfrac)
     mask = jnp.arange(s_now.shape[-1]) < k
-    sw_hat = m_blocked._shrink_sw_hat((s_now - s_orig) / alpha, sw, k)
+    # erasure flags unused here: the video path has no normalization tail
+    # (the recovered estimate is consumed raw), so the clamp bound alone
+    # is what the absent path needs
+    sw_hat, _ = m_blocked._shrink_sw_hat((s_now - s_orig) / alpha, sw, k)
     sw_hat = jnp.where(mask, sw_hat, 0.0)
     blocks = jnp.einsum("...nij,...nj,...njk->...nik", uw, sw_hat, vwt,
                         precision=jax.lax.Precision.HIGHEST)

@@ -84,24 +84,29 @@ def plane_embed_gray(cover_bgr_u8: jax.Array, sw: jax.Array, alpha,
     return _embed_jit(mesh, kfrac)(cover_bgr_u8, sw, jnp.float32(alpha))
 
 
-def _detect_body(grid, sweeps, stego_band, sc_band, sw_band, alpha):
-    from dctsvd_tpu.models.blocked import _plane_spectrum
+def _detect_body(grid, sweeps, kfrac, stego_band, sc_band, sw_band, alpha):
+    from dctsvd_tpu.models.blocked import _plane_spectrum, k_of_block
     from dctsvd_tpu.ops import color as c_ops
     y = c_ops.luma_f32(stego_band)
     s_cw = _plane_spectrum(y, sweeps)
-    sw_hat = (s_cw - sc_band) / jnp.maximum(alpha, 1e-8)
+    # restrict to the k EMBEDDED components, exactly like detect_gray —
+    # the statistic the ROC threshold was calibrated on; rows >= k carry
+    # only (delta/alpha)-amplified noise that would skew the scale and
+    # presence gates (round-4 review)
+    k = k_of_block(kfrac)
+    sw_hat = (s_cw - sc_band)[..., :k] / jnp.maximum(alpha, 1e-8)
     # local band scores; keep all of them rather than the local median
-    sw_b = jnp.broadcast_to(sw_band, sw_hat.shape)
+    sw_b = jnp.broadcast_to(sw_band[..., :k], sw_hat.shape)
     hb_local = stego_band.shape[0] // BLOCK        # band dims, not global
     wb = -(-stego_band.shape[1] // BLOCK)
     g = max(1, min(grid, hb_local, wb))
     gh, gw = hb_local // g, wb // g
 
     def to_bands(x):
-        x = x.reshape(hb_local, wb, BLOCK)[:g * gh, :g * gw, :]
-        x = x.reshape(g, gh, g, gw, BLOCK)
+        x = x.reshape(hb_local, wb, k)[:g * gh, :g * gw, :]
+        x = x.reshape(g, gh, g, gw, k)
         x = jnp.swapaxes(x, 1, 2)
-        return x.reshape(g * g, gh * gw, BLOCK)
+        return x.reshape(g * g, gh * gw, k)
 
     sw_bands, hat_bands = to_bands(sw_b), to_bands(sw_hat)
     sw_f = sw_bands.reshape(g * g, -1)
@@ -114,12 +119,13 @@ def _detect_body(grid, sweeps, stego_band, sc_band, sw_band, alpha):
 
 
 @functools.lru_cache(maxsize=32)
-def _detect_jit(mesh: Mesh, grid: int, sweeps: Optional[int]):
+def _detect_jit(mesh: Mesh, grid: int, sweeps: Optional[int],
+                kfrac: float):
     ax = mesh_lib.BATCH_AXIS
     # the all_gather+median output is replicated by construction, but the
     # static varying-axes checker can't prove it — disable the check
     # (named check_rep before JAX 0.8, check_vma after)
-    fn = shard_map(functools.partial(_detect_body, grid, sweeps),
+    fn = shard_map(functools.partial(_detect_body, grid, sweeps, kfrac),
                    mesh=mesh,
                    in_specs=(P(ax), P(ax), P(ax), P()),
                    out_specs=P(), **{_CHECK_REP_KW: False})
@@ -129,7 +135,8 @@ def _detect_jit(mesh: Mesh, grid: int, sweeps: Optional[int]):
 def plane_detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array, sw: jax.Array,
                       alpha, grid: int = 2,
                       mesh: Optional[Mesh] = None,
-                      sweeps: Optional[int] = None) -> jax.Array:
+                      sweeps: Optional[int] = None,
+                      kfrac: float = 0.6) -> jax.Array:
     """Band-NC detection over a plane-sharded frame: each chip scores a
     ``grid × grid`` sub-grid of its band, one all-gather of the
     n·grid² band scores, global median (replicated scalar). ``sweeps``
@@ -139,5 +146,5 @@ def plane_detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array, sw: jax.Array,
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     _check_divisible(stego_bgr_u8.shape[0], _batch_size(mesh))
-    return _detect_jit(mesh, grid, sweeps)(stego_bgr_u8, sc, sw,
-                                           jnp.float32(alpha))
+    return _detect_jit(mesh, grid, sweeps, kfrac)(stego_bgr_u8, sc, sw,
+                                                  jnp.float32(alpha))

@@ -52,28 +52,22 @@ def main():
         return acc + y.reshape(-1)[0]
 
     @jax.jit
-    def clamp_only(x, sw, acc):
-        y = blocked._clamp_sw_hat(x, sw)
-        return acc + y.reshape(-1)[0]
-
-    @jax.jit
-    def erasure_only(x, sw, acc):
-        bad = blocked._erasure_mask(x, sw, k)
-        return acc + bad.astype(jnp.float32).reshape(-1)[0]
+    def shrink_only(x, sw, acc):
+        y, bad = blocked._shrink_sw_hat(x, sw, k)
+        return (acc + y.reshape(-1)[0]
+                + bad.astype(jnp.float32).reshape(-1)[0])
 
     @jax.jit
     def head_nogather(x, sw, acc):
         raw = x / jnp.maximum(alpha, 1e-8)
-        bad = blocked._erasure_mask(raw, sw, k)
-        sw_hat = blocked._clamp_sw_hat(raw, sw)
+        sw_hat, bad = blocked._shrink_sw_hat(raw, sw, k)
         return (acc + sw_hat.reshape(-1)[0]
                 + bad.astype(jnp.float32).reshape(-1)[0])
 
     timed("take axis=-2 [b,c,n,4]", take_ax2, x, idx)
     timed("take minor  [b,c,4,n]", take_minor, x, idx)
     timed("take axis=-2 full 8 then slice", take_full8, x, idx)
-    timed("clamp only", clamp_only, x, sw)
-    timed("erasure mask only", erasure_only, x, sw)
+    timed("shrink estimator only", shrink_only, x, sw)
     timed("head without gather", head_nogather, x, sw)
 
 

@@ -68,8 +68,8 @@ def tail_recompute(s_cw, sc, ebasis, inv_blk, alpha, sw):
     h, w = 1080, 1920
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
     raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-    sw_hat = blocked._shrink_sw_hat(raw, sw, k)[..., :k]
-    sw_nat = blocked._permute_slots(sw_hat, inv_blk)
+    est, _ = blocked._shrink_sw_hat(raw, sw, k)
+    sw_nat = blocked._permute_slots(est[..., :k], inv_blk)
     eb = ebasis[..., :k, :, :]
     eb64 = eb.reshape(*eb.shape[:-2], BLOCK * BLOCK)
 
@@ -92,9 +92,14 @@ def main(batch=32):
     hp, wp = 1080, 1920
     rng = np.random.default_rng(0)
     n = (hp // 8) * (wp // 8)
-    s_cw = jnp.asarray(rng.random((batch, 3, n, 8), np.float32) * 50)
-    sc = jnp.asarray(rng.random((batch, 3, n, 8), np.float32) * 50)
-    sw = jnp.asarray(rng.random((3, n, 8), np.float32) * 40)
+    sc_np = rng.random((batch, 3, n, 8), np.float32) * 50
+    sw_np = rng.random((3, n, 8), np.float32) * 40
+    # serving-like stego spectrum (mark present + small codec-ish noise)
+    # so the estimator's presence switch engages like in production
+    s_cw = jnp.asarray(sc_np + 0.12 * sw_np
+                       + rng.normal(0, 0.5, sc_np.shape).astype(np.float32))
+    sc = jnp.asarray(sc_np)
+    sw = jnp.asarray(sw_np)
     ebasis = jnp.asarray(rng.standard_normal((3, n, 8, 8, 8))
                          .astype(np.float32))
     inv_blk = jnp.asarray(rng.permutation(n))

@@ -125,10 +125,10 @@ def tail_parts():
     @jax.jit
     def head_only(s_cw, sc, sw, iblk, alpha, acc):
         raw = (s_cw - sc) / jnp.maximum(alpha, 1e-8)
-        bad = blocked._erasure_mask(raw, sw, k)
-        sw_hat = blocked._clamp_sw_hat(raw, sw)
+        sw_hat, bad = blocked._shrink_sw_hat(raw, sw, k)
         sw_nat = jnp.take(sw_hat[..., :k], iblk, axis=-2)
-        return acc + sw_nat.reshape(-1)[0] + bad.astype(jnp.float32).reshape(-1)[0]
+        return (acc + sw_nat.reshape(-1)[0]
+                + bad.astype(jnp.float32).reshape(-1)[0])
 
     @jax.jit
     def einsum_only(sw_nat, eb64, acc):
@@ -151,8 +151,8 @@ def tail_parts():
                                                 ).reshape(-1)[0].astype(jnp.float32)
 
     raw = (s_cw0 - sc0) / alpha
-    bad_nat = jnp.take(blocked._erasure_mask(raw, pw.sw, k),
-                       pw.inv_blk, axis=-1)
+    _, bad0 = blocked._shrink_sw_hat(raw, pw.sw, k)
+    bad_nat = jnp.take(bad0, pw.inv_blk, axis=-1)
     sw_nat = jnp.take(blocked._clamp_sw_hat(raw, pw.sw)[..., :k],
                       pw.inv_blk, axis=-2)
     timed("tail: head (clamp+erasure+gather)", head_only, s_cw0, sc0,
