@@ -279,8 +279,16 @@ def bench_robustness(h=2160, w=3840,
                         ).astype(np.uint8)
         cropped = stego_np.copy()
         cropped[: h // 4] = 0        # 25% of rows blanked
+        # scaling attack: downscale to 50% and restore (kills the top
+        # half of the spectrum; CPU probe at 512²: detect ~1.0,
+        # extraction NC 0.54-0.77 across the alpha grid)
+        small = cv2.resize(stego_np, (w // 2, h // 2),
+                           interpolation=cv2.INTER_AREA)
+        resized = cv2.resize(small, (w, h),
+                             interpolation=cv2.INTER_LINEAR)
         return {"jpeg_q50": cv2.imdecode(enc, cv2.IMREAD_COLOR),
-                "noise_s5": noisy, "crop25": cropped}
+                "noise_s5": noisy, "crop25": cropped,
+                "resize50": resized}
 
     table = {}
     worst_detect = 1.0

@@ -98,3 +98,34 @@ def test_full_path_matches_oracle_under_attack(assets):
     _, ours = api.detect(ap, mp)
     theirs = oracle.detect(attacked, meta)
     assert abs(ours - theirs) < 1e-3
+
+
+def test_blocked_detect_survives_resize_restore(assets):
+    """Scaling attack: downscale the stego to 50% and restore. The top
+    half of the spectrum dies, but the per-block top components are
+    DC-dominated and survive attenuated — and the detector's gates are
+    deliberately one-sided, so an attenuated genuine mark keeps its
+    score (CPU probe at 512²: detect ~1.0 across the alpha grid)."""
+    d, cp, wp = assets
+    out, mp, *_ = api.embed(cp, wp, str(d / "s_rz.png"),
+                            str(d / "m_rz.npz"), alpha=0.12,
+                            password="pw", method="blocked")
+    stego = cv2.imread(out)
+    h, w = stego.shape[:2]
+    small = cv2.resize(stego, (w // 2, h // 2),
+                       interpolation=cv2.INTER_AREA)
+    back = cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+    ap = str(d / "att_rz.png")
+    cv2.imwrite(ap, back)
+    found, score = api.detect(ap, mp)
+    assert found and score > 0.7, score
+    # the resize-restored ORIGINAL (mark-free low-pass delta) must not
+    # trigger
+    orig = cv2.imread(cp)
+    small_o = cv2.resize(orig, (w // 2, h // 2),
+                         interpolation=cv2.INTER_AREA)
+    back_o = cv2.resize(small_o, (w, h), interpolation=cv2.INTER_LINEAR)
+    op = str(d / "att_rz_orig.png")
+    cv2.imwrite(op, back_o)
+    found_o, score_o = api.detect(op, mp)
+    assert not found_o and abs(score_o) < 0.3, score_o
