@@ -47,7 +47,11 @@ class WatermarkConfig:
     kfrac: float = K_FRAC_DEFAULT
     color: bool = False
     method: str = "full"            # 'full' | 'blocked'
-    thresh: float = DETECT_THRESH_DEFAULT
+    thresh: float = DETECT_THRESH_DEFAULT   # parity statistic's threshold;
+                                            # blocked metas resolve their own
+                                            # ROC-backed default when the
+                                            # caller passes api.detect(...,
+                                            # thresh=None)
     normalize: bool = True          # min-max normalize extracted mark
     enhance: bool = True            # NLM -> CLAHE -> unsharp chain on extract
     frame_interval: int = FRAME_INTERVAL_DEFAULT

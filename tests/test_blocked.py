@@ -291,6 +291,16 @@ def test_detect_mark_free_negatives_gated(make_image, rng):
     assert float(blocked.detect_gray(jnp.asarray(jpg), res.sc, res.sw,
                                      alpha)) > 0.7
 
+    # color mode: same gates per channel (scores averaged)
+    resc = blocked.embed_color(jnp.asarray(cover), jnp.asarray(wm),
+                               blk, intra, alpha)
+    assert float(blocked.detect_color(resc.stego_bgr, resc.sc, resc.sw,
+                                      alpha)) > 0.8
+    bright = np.clip(cover.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+    s = float(blocked.detect_color(jnp.asarray(bright), resc.sc, resc.sw,
+                                   alpha))
+    assert abs(s) < 0.5, s
+
 
 def test_serve_verify_detect_matches_split(make_image):
     """serve_verify_detect_color_prepared (the single-dispatch
