@@ -933,11 +933,19 @@ def band_presence_damp(sw_bands: jax.Array,
     original, unrelated content) ρ0 = 0.00 ± 0.01. Only the j=0
     component is used — under attack the sub-dominant components'
     deviations (divided by α) swamp their small keyed variation (ŝw_j≥1
-    SNR ~0.06 at JPEG-q50/α=0.10 vs ~1 for j=0). Ramp: 0 below
-    ρ0=0.05, full weight above 0.35 (genuine bands sit well above;
-    chance-level bands well below)."""
+    SNR ~0.06 at JPEG-q50/α=0.10 vs ~1 for j=0).
+
+    The engage knee is SIZE-AWARE: ρ0 is a per-band sample Pearson with
+    null σ ≈ 1/√m (m = blocks per band), so a fixed 0.05 knee let 3.5 %
+    of mark-free 96² images (9-block bands) clear the 0.30 threshold
+    (worst 0.65, measured round 4). 0.05 + 1.3/√m keeps the knee ~4
+    null σ out at every size — production sizes are unaffected (1080p
+    bands: m = 2025, knee 0.079) while small images lose a little TPR
+    under heavy attack instead of leaking false positives."""
+    m = sw_bands.shape[-2]
+    knee = 0.05 + 1.3 / jnp.sqrt(jnp.float32(m))
     rho0 = metrics.nc(sw_bands[..., 0], hat_bands[..., 0])
-    return jnp.clip((rho0 - 0.05) / 0.30, 0.0, 1.0)
+    return jnp.clip((rho0 - knee) / 0.30, 0.0, 1.0)
 
 
 def _band_nc(sw: jax.Array, sw_hat: jax.Array, hb: int, wb: int,
