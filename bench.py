@@ -80,7 +80,10 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
     def step(frames, sw, ebasis, iblk, alpha, acc):
         stego, sc, _, _ = embed.__wrapped__(frames, sw, alpha,
                                             with_metrics=False)
-        rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha, sw=sw)
+        # composed embed+extract in one jit -> the materializing tail
+        # formulation wins (recompute=False; see _extract_tail_prepared)
+        rec = extract.__wrapped__(stego, sc, ebasis, iblk, alpha, sw=sw,
+                                  recompute=False)
         # acc chains the iterations and depends on every output tensor, so
         # the final host readback forces the whole sequence to have
         # executed. Single-element samples, not means: each tensor is

@@ -437,9 +437,12 @@ def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
     On the fused path the verification spectrum reads the embed kernel's
     u8 view output directly (bit-identical to re-transposing the stego —
     wm_pallas.roundtrip_frames_blocks), deleting one u8 view-transpose
-    pass per batch vs the split embed/extract calls; results equal the
-    split calls exactly. Unaligned sizes and non-TPU backends compose the
-    split calls."""
+    pass per batch vs the split embed/extract calls. The stego and sc
+    equal the split calls exactly; the recovered watermark agrees within
+    a couple of u8 quanta (this composed graph uses the materializing
+    tail, a standalone extract the recompute tail — independent rounding;
+    see _extract_tail_prepared). Unaligned sizes and non-TPU backends
+    compose the split calls (exactly equal there)."""
     h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
     aligned = h % BLOCK == 0 and w % BLOCK == 0
     if _use_fused() and aligned:
@@ -451,7 +454,8 @@ def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
             cover_bgr_u8, sws, k=k, sweeps=_FUSED_SWEEPS)
         rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
                                      kfrac, normalize, h, w, sw=sw,
-                                     to_frames=True, out_u8=True)
+                                     to_frames=True, out_u8=True,
+                                     recompute=False)
         return stego, sc, rec
     stego, sc, _, _ = embed_color_prepared.__wrapped__(
         cover_bgr_u8, sw, alpha, kfrac=kfrac, with_metrics=False)
@@ -490,14 +494,16 @@ def serve_verify_detect_color_prepared(cover_bgr_u8: jax.Array,
             cover_bgr_u8, sws, k=k, sweeps=_FUSED_SWEEPS)
         rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
                                      kfrac, normalize, h, w, sw=sw,
-                                     to_frames=True, out_u8=True)
+                                     to_frames=True, out_u8=True,
+                                     recompute=False)
     else:
         stego, sc, _, _ = embed_color_prepared.__wrapped__(
             cover_bgr_u8, sw, alpha, kfrac=kfrac, with_metrics=False)
         s_cw = _frames_spectrum(stego)
         rec = _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha,
                                      kfrac, normalize, h, w, sw=sw,
-                                     to_frames=True, out_u8=True)
+                                     to_frames=True, out_u8=True,
+                                     recompute=False)
     sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw[..., :k], sw_hat,
                       -(-h // BLOCK), -(-w // BLOCK))
@@ -736,6 +742,49 @@ def _normalize_blocks(blocks: jax.Array, bad_nat: Optional[jax.Array],
     return (blocks - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))
 
 
+def _normalize_blocks_recompute(produce, bad_nat: Optional[jax.Array],
+                                normalize: bool,
+                                out_u8: bool) -> jax.Array:
+    """Recompute-fused form of :func:`_normalize_blocks`: ``produce()``
+    rebuilds the [..., N, 64] reconstruction (a k-term broadcast-sum, so
+    XLA fuses it straight into each consuming reduction/epilogue) instead
+    of materializing it once in f32 — at serving shapes that tensor is
+    ~800 MB per 96-plane pass and its read+write around the normalize
+    dominated the tail. TPU A/B (tools/exp_tail.py, batch 8, v5e):
+    615.8 ms -> 22.9 ms (26.9x), u8 outputs identical to +-1 from
+    independent rounding; CPU 2.0x. The ~2x extra FLOPs (k*64 FMAs/block
+    per pass) are noise next to the saved HBM traffic."""
+    if not normalize:
+        blocks = produce()
+        if bad_nat is not None:
+            blocks = jnp.where(bad_nat[..., None], 0.0, blocks)
+        if out_u8:
+            blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
+        return blocks
+    if bad_nat is None:
+        lo = jnp.min(produce(), axis=(-2, -1), keepdims=True)
+        hi = jnp.max(produce(), axis=(-2, -1), keepdims=True)
+    else:
+        bmin = jnp.min(produce(), axis=-1)               # [..., N]
+        bmax = jnp.max(produce(), axis=-1)
+        lo = jnp.min(jnp.where(bad_nat, jnp.inf, bmin), axis=-1,
+                     keepdims=True)
+        hi = jnp.max(jnp.where(bad_nat, -jnp.inf, bmax), axis=-1,
+                     keepdims=True)
+        ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+        lo = jnp.where(ok, lo, jnp.min(bmin, axis=-1, keepdims=True))
+        hi = jnp.where(ok, hi, jnp.max(bmax, axis=-1, keepdims=True))
+        lo, hi = lo[..., None], hi[..., None]            # [..., 1, 1]
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
+    blocks = produce()
+    if bad_nat is not None:
+        blocks = jnp.where(bad_nat[..., None], (lo + hi) * 0.5, blocks)
+    blocks = (blocks - lo) * scale
+    if out_u8:
+        blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
+    return blocks
+
+
 def _unblockify_to_frames(blocks: jax.Array, hp: int, wp: int) -> jax.Array:
     """[..., C, N, 8, 8] pixel blocks -> [..., H, W, C] frames in ONE
     rank-6 transpose (unblockify with the channel moveaxis folded in —
@@ -753,12 +802,14 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
                              alpha: jax.Array, kfrac: float,
                              normalize: bool, h: int, w: int,
                              sw: Optional[jax.Array] = None,
-                             sweeps: Optional[int] = None) -> jax.Array:
+                             sweeps: Optional[int] = None,
+                             recompute: bool = True) -> jax.Array:
     """Serving-path extract tail: spectrum -> ŝw gather -> k-term
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     s_cw = _plane_spectrum(planes, sweeps)
     return _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
-                                  normalize, h, w, sw=sw, out_u8=True)
+                                  normalize, h, w, sw=sw, out_u8=True,
+                                  recompute=recompute)
 
 
 def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
@@ -767,7 +818,8 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
                            normalize: bool, h: int, w: int,
                            sw: Optional[jax.Array] = None,
                            to_frames: bool = False,
-                           out_u8: bool = False) -> jax.Array:
+                           out_u8: bool = False,
+                           recompute: bool = True) -> jax.Array:
     """Extract tail from an already-computed stego spectrum s_cw
     [..., N, 8] (lets channels-last callers feed _frames_spectrum).
 
@@ -776,6 +828,17 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     folded into the unblockify transpose (one rank-6 pass). ``out_u8``
     clips+casts before the output transpose (identical values to the
     callers' clip/cast epilogue — normalize maps into [0, 255] already).
+
+    ``recompute`` picks the reconstruction/normalize formulation for
+    block-aligned sizes: True recomputes the k-term contraction per
+    consumer (no [..., N, 64] f32 materialization — 24x faster when this
+    tail is its own dispatch, i.e. every standalone extract; see
+    _normalize_blocks_recompute); False materializes it once via einsum,
+    which measures ~2.6% faster when the tail is FUSED into a larger
+    embed+extract graph (serve_verify_*), where XLA already fuses the
+    small-k einsum into its consumers and the recompute's redundant
+    passes only add work (516.9 vs 503.5 fps on the composed 1080p
+    serving step, v5e). Outputs agree within one u8 quantum.
     """
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
@@ -799,21 +862,31 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     # 8, 8] split afterwards is free.
     eb = ebasis[..., :k, :, :]
     eb64 = eb.reshape(*eb.shape[:-2], BLOCK * BLOCK)
-    blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
     if (hp, wp) == (h, w):
         # Block-aligned sizes (all the serving shapes): normalize on the
         # [..., N, 64] block tensor BEFORE the unblockify transpose —
-        # min/max over all pixels == min/max over per-block extrema. With
-        # ``out_u8`` the clip+cast also happens pre-transpose, so the
-        # unblockify moves u8 bytes (1/4 the traffic). Cuts the tail's
-        # full-plane f32 passes from ~6 to 2.
-        blocks = _normalize_blocks(blocks, bad_nat, normalize)
-        if out_u8:
-            blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
+        # min/max over all pixels == min/max over per-block extrema.
+        # With ``out_u8`` the clip+cast also happens pre-transpose, so
+        # the unblockify moves u8 bytes (1/4 the traffic).
+        if recompute:
+            def produce():
+                # broadcast-sum, not dot: an elementwise producer fuses
+                # into the consuming reduction/epilogue without a
+                # [N, 64] f32 store
+                return jnp.sum(sw_nat[..., :, None] * eb64, axis=-2)
+
+            blocks = _normalize_blocks_recompute(produce, bad_nat,
+                                                 normalize, out_u8)
+        else:
+            blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
+            blocks = _normalize_blocks(blocks, bad_nat, normalize)
+            if out_u8:
+                blocks = jnp.clip(blocks, 0, 255).astype(jnp.uint8)
         blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
         if to_frames:
             return _unblockify_to_frames(blocks, hp, wp)
         return dct.unblockify(blocks, hp, wp)
+    blocks = jnp.einsum("...nj,...njp->...np", sw_nat, eb64)
     blocks = blocks.reshape(*blocks.shape[:-1], BLOCK, BLOCK)
     wy = dct.unblockify(blocks, hp, wp)[..., :h, :w]
     wy = _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
@@ -823,38 +896,46 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kfrac", "normalize", "sweeps"))
+                   static_argnames=("kfrac", "normalize", "sweeps",
+                                    "recompute"))
 def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                           ebasis: jax.Array, inv_blk: jax.Array,
                           alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                           normalize: bool = True,
                           sw: Optional[jax.Array] = None,
-                          sweeps: Optional[int] = None) -> jax.Array:
+                          sweeps: Optional[int] = None,
+                          recompute: bool = True) -> jax.Array:
     """Gray extract against a PreparedWatermark's pixel basis (serving
     fast path; same result as extract_gray). Pass ``sw`` (the stored
     watermark SVs, slot order) to clamp outliers from locally-destroyed
-    blocks — see _shrink_sw_hat."""
+    blocks — see _shrink_sw_hat. ``recompute`` (default True — right for
+    a standalone extract dispatch) picks the tail formulation; pass
+    False when composing this into a larger embed+extract jit (see
+    _extract_tail_prepared)."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     return _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
-                                    normalize, h, w, sw=sw, sweeps=sweeps)
+                                    normalize, h, w, sw=sw, sweeps=sweeps,
+                                    recompute=recompute)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kfrac", "normalize", "sweeps"))
+                   static_argnames=("kfrac", "normalize", "sweeps",
+                                    "recompute"))
 def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            ebasis: jax.Array, inv_blk: jax.Array,
                            alpha: jax.Array, kfrac: float = K_FRAC_DEFAULT,
                            normalize: bool = True,
                            sw: Optional[jax.Array] = None,
-                           sweeps: Optional[int] = None) -> jax.Array:
+                           sweeps: Optional[int] = None,
+                           recompute: bool = True) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     # stego spectrum straight off the channels-last frames (no moveaxis);
     # the output-side channel moveaxis rides the unblockify transpose
     s_cw = _frames_spectrum(stego_bgr_u8, sweeps)
     return _extract_tail_prepared(s_cw, sc, ebasis, inv_blk, alpha, kfrac,
                                   normalize, h, w, sw=sw, to_frames=True,
-                                  out_u8=True)
+                                  out_u8=True, recompute=recompute)
 
 
 @functools.partial(jax.jit,

@@ -63,9 +63,13 @@ def _embed_body(kfrac, cover_band, sw_band, alpha):
 @functools.lru_cache(maxsize=32)
 def _embed_jit(mesh: Mesh, kfrac: float):
     ax = mesh_lib.BATCH_AXIS
+    # check_vma must be off: the fused Pallas kernel inside the body
+    # declares its out_shape with ShapeDtypeStruct (no vma annotation),
+    # which the static varying-axes checker rejects on real TPU (the CPU
+    # tests never see this — they take the XLA fallback kernel)
     fn = shard_map(functools.partial(_embed_body, kfrac), mesh=mesh,
                    in_specs=(P(ax), P(ax), P()),
-                   out_specs=(P(ax), P(ax)))
+                   out_specs=(P(ax), P(ax)), **{_CHECK_REP_KW: False})
     return jax.jit(fn)
 
 

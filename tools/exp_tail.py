@@ -105,6 +105,12 @@ def main(batch=32):
     inv_blk = jnp.asarray(rng.permutation(n))
     alpha = jnp.float32(0.12)
 
+    # absorb the one-time remote compiles of the timing loop's own tiny
+    # eager ops (acc chain): they cost ~0.5 s EACH on the axon platform
+    # and land entirely on whichever variant is timed first, inflating it
+    # ~20x at batch 8 (tools/exp_tail2.py isolated this; round 4)
+    timed("warmup (discard)", tail_recompute,
+          s_cw, sc, ebasis, inv_blk, alpha, sw)
     cur = timed("tail current (normalize, u8, frames)", tail_current,
                 s_cw, sc, ebasis, inv_blk, alpha, sw)
     timed("tail normalize=False bound", tail_nonorm,
