@@ -617,9 +617,27 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     ref = jnp.broadcast_to(sw, raw.shape)
     scale = (jnp.mean(ref[..., 0], axis=-1, keepdims=True)[..., None]
              + 1e-6)
-    dev = jnp.max(jnp.abs(raw[..., :k] - ref[..., :k]), axis=-1,
-                  keepdims=True)
-    wgt = 1.0 / (1.0 + (dev / scale) ** 2)
+    # Per-COMPONENT deviation/confidence, not one per-block max: a
+    # resize-to-50%-and-restore attack collapses the sub-dominant
+    # singular components of every block (raw_j ≈ −sc_j·loss/α, a large
+    # NEGATIVE value ∝ the cover's own energy) while leaving component 0
+    # well-correlated; a shared per-block weight let that moderate-dev
+    # (~1.5·scale → w≈0.3) negative bias through on all components and
+    # the three biased components outvoted component 0 — the extracted
+    # image came out polarity-INVERTED (NC −0.52, round-4 hardware
+    # robustness table). Per-component weights keep component 0 nearly
+    # raw (w≈0.9) and push the destroyed components toward the prior.
+    # Components ≥ k were never embedded (their raw is noise/α); they are
+    # zeroed downstream, so their weight is irrelevant — use 0.
+    comp = jnp.arange(BLOCK) < k
+    devk = jnp.where(comp, jnp.abs(raw - ref), 0.0)      # [..., N, 8]
+    wgt = jnp.where(comp, 1.0 / (1.0 + (devk / scale) ** 2), 0.0)
+    # A NEGATIVE measured component is maximally implausible (singular
+    # values are non-negative) — it is energy the attack removed from
+    # the cover, not watermark signal. Send it fully to the prior
+    # rather than letting the Cauchy weight average it in.
+    wgt = jnp.where(raw < 0.0, 0.0, wgt)
+    dev = jnp.max(devk, axis=-1, keepdims=True)          # worst of :k
     # ρ0 as a MEDIAN over 16 contiguous block-groups of per-group
     # Pearson, never one global correlation: (a) a global Pearson is not
     # robust — a 25%-crop's destroyed blocks carry huge raw values that
@@ -644,7 +662,12 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     # attacked) wherever groups are big enough to measure presence at
     # all; undersized images simply fall back to the clamp path.
     engage = rho0 >= 0.20 + 1.3 / jnp.sqrt(jnp.float32(gsz))
-    shrunk = ref + wgt * (raw - ref)
+    # Singular values are non-negative by definition: a strongly negative
+    # blended estimate can only be residual attack damage (energy LOSS in
+    # the cover, not watermark signal), so floor the present-path
+    # estimate at 0. Clean/JPEG/noise estimates are positive anyway
+    # (raw ≈ ref ± small noise) — the floor touches nothing there.
+    shrunk = jnp.maximum(ref + wgt * (raw - ref), 0.0)
     # Absent path = the round-3 estimator verbatim (clamp to the
     # plausible per-block range + erasure flags consumed by the masked
     # normalization): a majority-damaged genuine stego (≥50 % crop)
