@@ -370,8 +370,9 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
     cross-family AND same-family unrelated hosts — and
     watermarked+attacked stegos as positives
     (clean/JPEG-q50/noise-σ5/25%-crop) across the alpha grid, then
-    reports the two distributions, the separation margin, and whether
-    threshold 0.6 gives FPR=0 / TPR=1.
+    reports the two distributions, the separation margin, and FPR/TPR at
+    both the reference-carried 0.6 and the ROC-backed blocked default
+    0.30 (utils.config.DETECT_THRESH_BLOCKED).
     Match: detect contract, ref app_dct_svd_single.py:284-318."""
     import cv2
     import jax.numpy as jnp
@@ -778,10 +779,11 @@ def main():
     else:
         worst, _table = bench_robustness()
         print(json.dumps({
-            "metric": "4K detect score under JPEG q50/noise/crop attacks, "
-                      "alpha sweep 0.10-0.22 (min; threshold 0.6)",
+            "metric": "4K detect score under JPEG q50/noise/crop25/"
+                      "resize50 attacks, alpha sweep 0.10-0.22 (min; "
+                      "blocked threshold 0.30)",
             "value": round(worst, 4), "unit": "NC score",
-            "vs_baseline": round(worst / 0.6, 2)}))
+            "vs_baseline": round(worst / 0.30, 2)}))
 
 
 if __name__ == "__main__":

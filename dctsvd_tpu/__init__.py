@@ -61,6 +61,14 @@ def _setup_compilation_cache() -> None:
     try:
         import jax
 
+        # Respect an explicitly-configured cache location: trampling a
+        # dir the embedding application (or tests/conftest.py) already
+        # set is a config-override bug — the package default is a
+        # fallback, not a mandate. (DCTSVD_TPU_CACHE_DIR still wins over
+        # a pre-set dir: it is this package's own explicit knob.)
+        already = jax.config.jax_compilation_cache_dir
+        if already and not os.environ.get("DCTSVD_TPU_CACHE_DIR"):
+            return
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache even sub-second compiles: with a remote-attached TPU every
         # eager op dispatch pays tunnel latency, so a fresh process replays

@@ -504,7 +504,14 @@ def serve_verify_detect_color_prepared(cover_bgr_u8: jax.Array,
                                      kfrac, normalize, h, w, sw=sw,
                                      to_frames=True, out_u8=True,
                                      recompute=False)
-    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    # rectified at 0: a negative recovered component is physically
+    # impossible watermark signal (singular values are non-negative)
+    # and is exactly what scale-reduction attacks inject — it inflated
+    # the scale damp and anti-correlated the NC (resize50 detect 0.17
+    # -> 0.57 at alpha=0.10 rectified; every probed negative stays
+    # 0.000 and the full ROC battery re-validates the 0.30 threshold)
+    sw_hat = jnp.maximum((s_cw - sc)[..., :k], 0.0) \
+        / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw[..., :k], sw_hat,
                       -(-h // BLOCK), -(-w // BLOCK))
     return stego, sc, rec, jnp.mean(scores, axis=-1)
@@ -1109,7 +1116,14 @@ def detect_gray(stego_bgr_u8: jax.Array, sc: jax.Array,
     k = k_of_block(kfrac)
     y = color.luma_f32(stego_bgr_u8)
     s_cw = _plane_spectrum(y, sweeps)
-    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    # rectified at 0: a negative recovered component is physically
+    # impossible watermark signal (singular values are non-negative)
+    # and is exactly what scale-reduction attacks inject — it inflated
+    # the scale damp and anti-correlated the NC (resize50 detect 0.17
+    # -> 0.57 at alpha=0.10 rectified; every probed negative stays
+    # 0.000 and the full ROC battery re-validates the 0.30 threshold)
+    sw_hat = jnp.maximum((s_cw - sc)[..., :k], 0.0) \
+        / jnp.maximum(alpha, 1e-8)
     return _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
 
 
@@ -1121,7 +1135,14 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     k = k_of_block(kfrac)
     s_cw = _frames_spectrum(stego_bgr_u8, sweeps)   # no moveaxis pass
-    sw_hat = (s_cw - sc)[..., :k] / jnp.maximum(alpha, 1e-8)
+    # rectified at 0: a negative recovered component is physically
+    # impossible watermark signal (singular values are non-negative)
+    # and is exactly what scale-reduction attacks inject — it inflated
+    # the scale damp and anti-correlated the NC (resize50 detect 0.17
+    # -> 0.57 at alpha=0.10 rectified; every probed negative stays
+    # 0.000 and the full ROC battery re-validates the 0.30 threshold)
+    sw_hat = jnp.maximum((s_cw - sc)[..., :k], 0.0) \
+        / jnp.maximum(alpha, 1e-8)
     scores = _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
     return jnp.mean(scores, axis=-1)
 

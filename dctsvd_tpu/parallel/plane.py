@@ -98,7 +98,10 @@ def _detect_body(grid, sweeps, kfrac, stego_band, sc_band, sw_band, alpha):
     # only (delta/alpha)-amplified noise that would skew the scale and
     # presence gates (round-4 review)
     k = k_of_block(kfrac)
-    sw_hat = (s_cw - sc_band)[..., :k] / jnp.maximum(alpha, 1e-8)
+    # rectified at 0 — same statistic as detect_gray (see the note
+    # there; scale-reduction attacks inject impossible negatives)
+    sw_hat = jnp.maximum((s_cw - sc_band)[..., :k], 0.0) \
+        / jnp.maximum(alpha, 1e-8)
     # local band scores; keep all of them rather than the local median
     sw_b = jnp.broadcast_to(sw_band[..., :k], sw_hat.shape)
     hb_local = stego_band.shape[0] // BLOCK        # band dims, not global

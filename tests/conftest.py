@@ -48,6 +48,20 @@ if os.environ.get("DCTSVD_DEBUG_CHECKS", "").lower() in ("1", "true"):
     _profiling.enable_debug_checks()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries. The full suite
+    compiles hundreds of XLA:CPU executables in one process; past ~130
+    tests the NEXT compile segfaults inside backend_compile_and_load
+    (reproducible at test_wm_pallas::test_roundtrip_matches_split; every
+    half-suite subset passes, either half + wm_pallas passes — the
+    trigger is cumulative compiled-module state, not any one graph).
+    Clearing per module keeps the live-executable population bounded;
+    the persistent disk cache makes the re-compiles cheap reads."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng(request):
     """Per-TEST deterministic generator (was one session-scoped stream:

@@ -5,9 +5,33 @@ chip (marked/sc/spectrum all within 6e-7 relative)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from dctsvd_tpu.ops import dct, svd, wm_pallas
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Serializing this module's interpret-mode Pallas executables for the
+    persistent compile cache segfaults XLA:CPU when the process has the
+    full suite's compilation state behind it (reproducible at
+    test_roundtrip_matches_split: SIGSEGV in put_executable_and_time on
+    write, SIGABRT in get_executable_and_time re-reading a poisoned
+    entry; the same tests pass standalone). Toolchain bug — keep these
+    executables out of the on-disk cache entirely. Costs ~2 min of
+    re-compiles per cold run for this file only.
+
+    The enable flag alone is NOT enough: jax freezes its use-the-cache
+    decision at the first compile of the process (is_cache_used's
+    _cache_checked latch) — reset_cache() clears the latch so the flag
+    flip actually takes effect, both on entry and on restore."""
+    from jax._src import compilation_cache as cc
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
 
 
 @pytest.fixture(scope="module")
