@@ -98,16 +98,17 @@ def _pad_frames_to_blocks(x: jax.Array,
 # robustness), which runs the fused path on hardware. DCTSVD_FUSED_SWEEPS
 # overrides for sweep-count quality/perf studies.
 #
-# sweeps=1 is a measured FAST TIER, deliberately not the default
-# (round-3 A/B, batch 128 frames): 717 vs 517 fps 1080p color, but the
-# larger un-cancelled residual costs real quality — 4K robustness min
-# detect 0.851 vs 0.873, JPEG-q50 extraction NC 0.82-0.83 vs 0.84-0.86,
-# noise 0.86-0.88 vs 0.90-0.91, and 25%-crop extraction NC at
-# alpha=0.22 falls to 0.6006, the exact edge of the >=0.6 erasure
-# target; clean-extract NC on a worst-case noise host drops 0.85->0.79
-# (stego PSNR/SSIM unchanged). Deployments whose robustness budget
-# allows it opt in with DCTSVD_FUSED_SWEEPS=1; extract/detect replay
-# the embed-time count from the meta either way.
+# sweeps=1 is a measured FAST TIER, deliberately not the default:
+# 714 vs 517 fps 1080p color (round-4 hardware re-measurement, batch
+# 128). The round-4 shrinkage estimator + rectified detect absorbed the
+# worst round-3 s1 penalties (crop extraction at the 0.60 edge, clean
+# extract 0.79 — both gone), and the full 4K table at s1 is now within
+# 0.005 min detect of s2 (0.8651 vs 0.8697) — but the larger
+# un-cancelled residual still costs real extraction quality under noise
+# (σ5: NC 0.864-0.887 vs 0.900-0.908, SSIM 0.810 vs 0.895 at α=0.10)
+# and ~0.01 NC under JPEG-q50 (stego PSNR/SSIM unchanged). Deployments
+# whose robustness budget allows it opt in with DCTSVD_FUSED_SWEEPS=1;
+# extract/detect replay the embed-time count from the meta either way.
 import os as _os
 _FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "2"))
 
