@@ -646,30 +646,48 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     # rather than letting the Cauchy weight average it in.
     wgt = jnp.where(raw < 0.0, 0.0, wgt)
     dev = jnp.max(devk, axis=-1, keepdims=True)          # worst of :k
-    # ρ0 as a MEDIAN over 16 contiguous block-groups of per-group
-    # Pearson, never one global correlation: (a) a global Pearson is not
-    # robust — a 25%-crop's destroyed blocks carry huge raw values that
-    # crush the covariance and read a genuine damaged stego as mark-free
-    # (measured: crop extraction fell to −0.13); (b) masking the
-    # correlation to blocks that agree with Sw conditions on the outcome
-    # and manufactures ρ0 ≈ 1 for ANY input (measured: unrelated images
-    # leaked back to 0.997). Contiguous n-ranges are spatial row bands,
-    # so localized damage kills a minority of groups and the median
-    # holds; mark-free inputs are ~0 in every group.
+    # ρ0 as a high ORDER STATISTIC over 16 contiguous block-groups of
+    # per-group Pearson, never one global correlation: (a) a global
+    # Pearson is not robust — a 25%-crop's destroyed blocks carry huge
+    # raw values that crush the covariance and read a genuine damaged
+    # stego as mark-free (measured: crop extraction fell to −0.13);
+    # (b) masking the correlation to blocks that agree with Sw conditions
+    # on the outcome and manufactures ρ0 ≈ 1 for ANY input (measured:
+    # unrelated images leaked back to 0.997). Contiguous n-ranges are
+    # spatial row bands, so localized damage kills a minority of groups.
+    # The statistic is the ⌈ng/4⌉-th LARGEST group Pearson (round 4;
+    # was the median): presence is engaged when a QUARTER of the image
+    # still demonstrably carries the mark, so majority-damage stegos
+    # (62–75 % row crops) keep the MAP blend — their destroyed blocks
+    # repaint as the prior through the per-component confidence instead
+    # of the cruder clamp+erasure fallback (crop62 extraction NC
+    # 0.56 → 0.91, crop75 0.46 → 0.92, measured at 128²–512²; 96² keeps
+    # the fallback — its knee is honestly out of reach under majority
+    # damage); mark-free inputs are ~0 in every group, so any quantile
+    # reads ~0.
     n = raw.shape[-2]
     gsz = max(1, n // 16)
     ng = n // gsz
     a0 = ref[..., : ng * gsz, 0].reshape(*ref.shape[:-2], ng, gsz)
     b0 = raw[..., : ng * gsz, 0].reshape(*raw.shape[:-2], ng, gsz)
-    rho0 = jnp.median(metrics.nc(a0, b0), axis=-1)
+    m = -(-ng // 4)                       # quarter of the groups, ≥ 1
+    rho0 = jnp.sort(metrics.nc(a0, b0), axis=-1)[..., ng - m]
     # Size-aware engage threshold: a null per-group Pearson has
     # std ≈ 1/√gsz, so on small images (96², gsz=9) a fixed 0.20 knee
     # false-fired on ~3 % of mark-free inputs — fabricated watermarks at
-    # NC 0.99 (round-4 review). 1.3/√gsz puts the knee ~4 null σ out at
-    # every size while staying far below genuine ρ0 (≈0.9 clean, ≥0.5
-    # attacked) wherever groups are big enough to measure presence at
-    # all; undersized images simply fall back to the clamp path.
-    engage = rho0 >= 0.20 + 1.3 / jnp.sqrt(jnp.float32(gsz))
+    # NC 0.99 (round-4 review). The quarter-order-statistic gate gives a
+    # mark-free image ~ng/m times the median gate's chances to clear the
+    # knee, so the knee moves out with it: 1.8/√gsz ≈ 2.4 null σ at
+    # gsz=9 → per-image false-engage P(Binom(16, .009) ≥ 4) ≈ 1e-5
+    # (1,000-input mark-free sweep, 250 × {64², 96², 128², 256²}, five
+    # content families incl. perturbed originals: worst extraction NC
+    # BIT-IDENTICAL to the median gate — zero added engagements; the
+    # 0.54–0.59 worst case both gates share is the documented
+    # silhouette-through-the-stored-basis caveat below, not a gate
+    # leak). Still far below genuine ρ0
+    # (≈0.9 clean, ≥0.5 attacked) wherever groups are big enough to
+    # measure presence; undersized images fall back to the clamp path.
+    engage = rho0 >= 0.20 + 1.8 / jnp.sqrt(jnp.float32(gsz))
     # Singular values are non-negative by definition: a strongly negative
     # blended estimate can only be residual attack damage (energy LOSS in
     # the cover, not watermark signal), so floor the present-path
