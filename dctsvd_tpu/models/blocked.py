@@ -438,12 +438,9 @@ def serve_verify_color_prepared(cover_bgr_u8: jax.Array, sw: jax.Array,
     On the fused path the verification spectrum reads the embed kernel's
     u8 view output directly (bit-identical to re-transposing the stego —
     wm_pallas.roundtrip_frames_blocks), deleting one u8 view-transpose
-    pass per batch vs the split embed/extract calls. The stego and sc
-    equal the split calls exactly; the recovered watermark agrees within
-    a couple of u8 quanta (this composed graph uses the materializing
-    tail, a standalone extract the recompute tail — independent rounding;
-    see _extract_tail_prepared). Unaligned sizes and non-TPU backends
-    compose the split calls (exactly equal there)."""
+    pass per batch vs the split embed/extract calls; results equal the
+    split calls exactly (both run the materializing extract tail).
+    Unaligned sizes and non-TPU backends compose the split calls."""
     h, w = cover_bgr_u8.shape[-3], cover_bgr_u8.shape[-2]
     aligned = h % BLOCK == 0 and w % BLOCK == 0
     if _use_fused() and aligned:
@@ -794,15 +791,16 @@ def _normalize_blocks(blocks: jax.Array, bad_nat: Optional[jax.Array],
 def _normalize_blocks_recompute(produce, bad_nat: Optional[jax.Array],
                                 normalize: bool,
                                 out_u8: bool) -> jax.Array:
-    """Recompute-fused form of :func:`_normalize_blocks`: ``produce()``
+    """Recompute form of :func:`_normalize_blocks`: ``produce()``
     rebuilds the [..., N, 64] reconstruction (a k-term broadcast-sum, so
-    XLA fuses it straight into each consuming reduction/epilogue) instead
-    of materializing it once in f32 — at serving shapes that tensor is
-    ~800 MB per 96-plane pass and its read+write around the normalize
-    dominated the tail. TPU A/B (tools/exp_tail.py, batch 8, v5e):
-    615.8 ms -> 22.9 ms (26.9x), u8 outputs identical to +-1 from
-    independent rounding; CPU 2.0x. The ~2x extra FLOPs (k*64 FMAs/block
-    per pass) are noise next to the saved HBM traffic."""
+    XLA fuses it straight into each consuming reduction/epilogue)
+    instead of materializing it once in f32. NOT the production default:
+    it won tail-only microbenches (its original 26.9x 'win' was mostly a
+    first-position eager-compile artifact — tools/exp_tail2.py) but
+    measures equal-or-worse inside the full extract graph at every
+    batch size, because each pass re-reads the pixel basis per frame
+    (see _extract_tail_prepared's recompute note for the end-to-end
+    numbers). Kept selectable for future toolchain A/Bs."""
     if not normalize:
         blocks = produce()
         if bad_nat is not None:
@@ -852,7 +850,7 @@ def _extract_planes_prepared(planes: jax.Array, sc: jax.Array,
                              normalize: bool, h: int, w: int,
                              sw: Optional[jax.Array] = None,
                              sweeps: Optional[int] = None,
-                             recompute: bool = True) -> jax.Array:
+                             recompute: bool = False) -> jax.Array:
     """Serving-path extract tail: spectrum -> ŝw gather -> k-term
     pixel-basis FMA. No per-frame DCT/recon linear algebra at all."""
     s_cw = _plane_spectrum(planes, sweeps)
@@ -868,7 +866,7 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
                            sw: Optional[jax.Array] = None,
                            to_frames: bool = False,
                            out_u8: bool = False,
-                           recompute: bool = True) -> jax.Array:
+                           recompute: bool = False) -> jax.Array:
     """Extract tail from an already-computed stego spectrum s_cw
     [..., N, 8] (lets channels-last callers feed _frames_spectrum).
 
@@ -879,15 +877,21 @@ def _extract_tail_prepared(s_cw: jax.Array, sc: jax.Array,
     callers' clip/cast epilogue — normalize maps into [0, 255] already).
 
     ``recompute`` picks the reconstruction/normalize formulation for
-    block-aligned sizes: True recomputes the k-term contraction per
-    consumer (no [..., N, 64] f32 materialization — 24x faster when this
-    tail is its own dispatch, i.e. every standalone extract; see
-    _normalize_blocks_recompute); False materializes it once via einsum,
-    which measures ~2.6% faster when the tail is FUSED into a larger
-    embed+extract graph (serve_verify_*), where XLA already fuses the
-    small-k einsum into its consumers and the recompute's redundant
-    passes only add work (516.9 vs 503.5 fps on the composed 1080p
-    serving step, v5e). Outputs agree within one u8 quantum.
+    block-aligned sizes. False (default) materializes the [..., N, 64]
+    reconstruction once via einsum; True recomputes the k-term
+    contraction per consumer instead. The recompute form won a
+    TAIL-ONLY microbench decisively (exp_tail: 4x at b=8 against the
+    honest pre-flip number) but does NOT survive end-to-end
+    measurement: inside the full extract graph it is a wash at b=1
+    (11.7 vs 11.5 ms) and loses from b=8 up (40.1 vs 37.5 ms; tail-only
+    b=16: 242.8 vs 44.6 ms — it re-reads the [3, N, k, 64] pixel basis
+    once per FRAME per pass), and composed embed+extract graphs also
+    prefer the einsum (516.9 vs 503.5 fps on the 1080p serving step,
+    where XLA fuses the small-k einsum into its consumers). Kept as a
+    selectable formulation for future A/Bs (tools/exp_tail.py,
+    tools/exp_tail2.py document the methodology traps: first-position
+    eager-compile pollution and tail-only-vs-composed divergence).
+    Outputs agree within a couple of u8 quanta between the two forms.
     """
     k = k_of_block(kfrac)
     hp, wp = h + (-h) % BLOCK, w + (-w) % BLOCK
@@ -953,14 +957,13 @@ def extract_gray_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                           normalize: bool = True,
                           sw: Optional[jax.Array] = None,
                           sweeps: Optional[int] = None,
-                          recompute: bool = True) -> jax.Array:
+                          recompute: bool = False) -> jax.Array:
     """Gray extract against a PreparedWatermark's pixel basis (serving
     fast path; same result as extract_gray). Pass ``sw`` (the stored
     watermark SVs, slot order) to clamp outliers from locally-destroyed
-    blocks — see _shrink_sw_hat. ``recompute`` (default True — right for
-    a standalone extract dispatch) picks the tail formulation; pass
-    False when composing this into a larger embed+extract jit (see
-    _extract_tail_prepared)."""
+    blocks — see _shrink_sw_hat. ``recompute`` selects the tail
+    formulation (default False = materializing einsum, the measured
+    winner end-to-end; see _extract_tail_prepared)."""
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     y = color.luma_f32(stego_bgr_u8)
     return _extract_planes_prepared(y, sc, ebasis, inv_blk, alpha, kfrac,
@@ -977,7 +980,7 @@ def extract_color_prepared(stego_bgr_u8: jax.Array, sc: jax.Array,
                            normalize: bool = True,
                            sw: Optional[jax.Array] = None,
                            sweeps: Optional[int] = None,
-                           recompute: bool = True) -> jax.Array:
+                           recompute: bool = False) -> jax.Array:
     h, w = stego_bgr_u8.shape[-3], stego_bgr_u8.shape[-2]
     # stego spectrum straight off the channels-last frames (no moveaxis);
     # the output-side channel moveaxis rides the unblockify transpose
