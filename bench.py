@@ -148,6 +148,30 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
             # fused single-dispatch path via max() would make the JSON
             # artifact unreproducible from the documented entry points;
             # the two measured equal on v5e anyway)
+
+        # serve+score (no extract image): the cheapest complete serving
+        # step — embed + detect-verify in one dispatch. Informational
+        # (logged, not the JSON headline), same reasoning as above.
+        @jax.jit
+        def step_sd(frames, sw, alpha, acc):
+            stego, sc, scores = blocked.serve_detect_color_prepared \
+                .__wrapped__(frames, sw, alpha)
+            acc = (acc + jnp.sum(scores).astype(jnp.float32)
+                   + stego.reshape(-1)[0].astype(jnp.float32)
+                   + sc.reshape(-1)[0])
+            return stego, acc
+
+        acc = jnp.float32(0.0)
+        stego, acc = step_sd(frames, pw.sw, alpha, acc)
+        _ = float(acc)
+        for rep in range(2):
+            t0 = time.time()
+            for _ in range(iters):
+                stego, acc = step_sd(frames, pw.sw, alpha, acc)
+            _ = float(acc)
+            dt = time.time() - t0
+            log(f"serve+score rep{rep}: {dt:.3f}s for {batch * iters} "
+                f"frames ({batch * iters / dt:.1f} fps)")
     return fps
 
 

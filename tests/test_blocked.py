@@ -322,6 +322,24 @@ def test_serve_verify_detect_matches_split(make_image):
     assert float(scores) > 0.8
 
 
+def test_serve_detect_matches_split(make_image):
+    """serve_detect_color_prepared (embed + score WITHOUT the extract
+    image — the cheapest complete serving step) must equal the split
+    embed -> detect calls on its produced stego."""
+    cover, wm, _, key, (blk, intra), (iblk, _) = _setup(make_image, 64, 80)
+    alpha = jnp.float32(0.12)
+    pwc = blocked.prepare_wm_color(jnp.asarray(wm), blk, intra)
+    stego, sc, scores = blocked.serve_detect_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha)
+    stego2, sc2, _, _ = blocked.embed_color_prepared(
+        jnp.asarray(cover), pwc.sw, alpha, with_metrics=False)
+    score2 = blocked.detect_color(stego2, sc2, pwc.sw, alpha)
+    np.testing.assert_array_equal(np.asarray(stego), np.asarray(stego2))
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc2))
+    np.testing.assert_allclose(float(scores), float(score2), atol=1e-5)
+    assert float(scores) > 0.8
+
+
 def test_extraction_prior_gated_on_presence(make_image, rng):
     """The shrinkage prior must engage ONLY when the mark is present:
     a mark-free input (unrelated image, or the clean original) would
