@@ -73,6 +73,23 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 PAIRS = [(p, q) for p in range(B - 1) for q in range(p + 1, B)]
 
 
+def _schedule(sweeps):
+    """Decompose a (possibly fractional) sweep count into
+    (full_sweeps, extra_pairs): ``sweeps=1.5`` runs one full 28-pair
+    cyclic sweep plus the first 14 pairs of a second. Fractional
+    schedules interpolate the s1<->s2 perf/quality trade (the s1 fast
+    tier's residual penalty concentrates in the early second-sweep
+    rotations, which touch the dominant columns first in cyclic order);
+    the same-schedule replay argument (embed and extract run IDENTICAL
+    rotations, so convergence residue cancels in s_cw - sc) holds for
+    any fixed prefix, so fractional tiers keep the cancellation exact.
+    Integral inputs pass through unchanged (extra=0 compiles to the
+    existing loops byte-for-byte)."""
+    full = int(sweeps)
+    extra = int(round((float(sweeps) - full) * len(PAIRS)))
+    return full, max(0, min(extra, len(PAIRS) - 1))
+
+
 def _sum_rows(v):
     """Σ over the 8-row (second-minor) axis: [..., 8, W] -> [..., W].
 
@@ -152,13 +169,10 @@ def _jacobi_cols(g, sweeps, compute_uv, bf16=False):
     norms = [_sum_rows(g[i] * g[i]) for i in range(B)]
     g = [down(c) for c in g]
 
-    def sweep(_, carry):
-        if compute_uv:
-            g, norms, v = carry
-            g, norms, v = list(g), list(norms), list(v)
-        else:
-            (g, norms), v = (list(carry[0]), list(carry[1])), None
-        for p, q in PAIRS:
+    full_sweeps, extra_pairs = _schedule(sweeps)
+
+    def rotate(g, norms, v, pairs):
+        for p, q in pairs:
             gp, gq = up(g[p]), up(g[q])
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
@@ -172,18 +186,33 @@ def _jacobi_cols(g, sweeps, compute_uv, bf16=False):
                 vp, vq = up(v[p]), up(v[q])
                 v[p] = down(c * vp - s * vq)
                 v[q] = down(s * vp + c * vq)
+        return g, norms, v
+
+    def sweep(_, carry):
+        if compute_uv:
+            g, norms, v = carry
+            g, norms, v = list(g), list(norms), list(v)
+        else:
+            (g, norms), v = (list(carry[0]), list(carry[1])), None
+        g, norms, v = rotate(g, norms, v, PAIRS)
         if compute_uv:
             return tuple(g), tuple(norms), tuple(v)
         return tuple(g), tuple(norms)
 
     if compute_uv:
         v = [down(c) for c in v]
-        g, _, v = jax.lax.fori_loop(
-            0, sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
+        g, norms, v = jax.lax.fori_loop(
+            0, full_sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
+        if extra_pairs:
+            g, norms, v = rotate(list(g), list(norms), list(v),
+                                 PAIRS[:extra_pairs])
         g, v = [up(c) for c in g], [up(c) for c in v]
     else:
-        g, _ = jax.lax.fori_loop(0, sweeps, sweep,
-                                 (tuple(g), tuple(norms)))
+        g, norms = jax.lax.fori_loop(0, full_sweeps, sweep,
+                                     (tuple(g), tuple(norms)))
+        if extra_pairs:
+            g, norms, _ = rotate(list(g), list(norms), None,
+                                 PAIRS[:extra_pairs])
         g = [up(c) for c in g]
 
     s = [jnp.sqrt(_sum_rows(g[i] * g[i])) for i in range(B)]
@@ -359,10 +388,10 @@ def _jacobi_cols_g(g0, sweeps, bf16=False):
           else (lambda x: x))
     norms = [_sum_rows(c * c) for c in g0]
     g = [down(c) for c in g0]
+    full_sweeps, extra_pairs = _schedule(sweeps)
 
-    def sweep(_, carry):
-        g, norms = list(carry[0]), list(carry[1])
-        for p, q in PAIRS:
+    def rotate(g, norms, pairs):
+        for p, q in pairs:
             gp, gq = up(g[p]), up(g[q])
             app, aqq = norms[p], norms[q]
             apq = _sum_rows(gp * gq)
@@ -372,9 +401,16 @@ def _jacobi_cols_g(g0, sweeps, bf16=False):
             c, s = c[..., None, :], s[..., None, :]
             g[p] = down(c * gp - s * gq)
             g[q] = down(s * gp + c * gq)
+        return g, norms
+
+    def sweep(_, carry):
+        g, norms = rotate(list(carry[0]), list(carry[1]), PAIRS)
         return tuple(g), tuple(norms)
 
-    g, _ = jax.lax.fori_loop(0, sweeps, sweep, (tuple(g), tuple(norms)))
+    g, norms = jax.lax.fori_loop(0, full_sweeps, sweep,
+                                 (tuple(g), tuple(norms)))
+    if extra_pairs:
+        g, _ = rotate(list(g), list(norms), PAIRS[:extra_pairs])
     g = [up(c) for c in g]
     # Fresh final norms, not the Rutishauser-cached ones: reusing the
     # cached norms (sqrt(norms[i]), saving 8 full-width mults + 8
