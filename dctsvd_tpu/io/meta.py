@@ -23,6 +23,21 @@ import numpy as np
 
 from dctsvd_tpu.utils import crypto
 
+# Jacobi pairs per full 8x8 cyclic sweep = C(8,2). Duplicated here (not
+# imported from ops.wm_pallas, which pulls the Pallas stack into the IO
+# layer); pinned equal to len(wm_pallas.PAIRS) by tests/test_meta.py.
+_PAIRS_PER_SWEEP = 28
+
+
+def _sched_join(full: int, xpairs: int):
+    """(full sweeps, extra pairs) -> in-process sweep value; int when
+    integral so legacy call paths/jit keys are unchanged (mirror of
+    ops/wm_pallas.sched_join)."""
+    full, xpairs = int(full), int(xpairs)
+    full += xpairs // _PAIRS_PER_SWEEP
+    xpairs %= _PAIRS_PER_SWEEP
+    return full if xpairs == 0 else full + xpairs / _PAIRS_PER_SWEEP
+
 
 def _npz_path(path: str) -> str:
     """np.savez appends '.npz' to any path not already ending in it, so a
@@ -129,6 +144,18 @@ class Meta:
     digest_v: int = 1  # blocked-meta digest schema (models/blocked.py
                        # DIGEST_V); 1 = legacy Sc/Uw/Vwt-only coverage
                        # (metas without a digest_v key)
+    sweeps_xpairs: int = 0   # extra Jacobi pairs past `sweeps` full
+                             # sweeps (0..27): fractional tiers serialize
+                             # as TWO integers so embed and extract replay
+                             # a byte-identical rotation prefix (never a
+                             # float a reader could re-round differently)
+
+    def sched(self):
+        """The embed-time sweep schedule as the in-process value the
+        kernel layer takes: int for integral schedules (0 = converged/
+        XLA), else full + xpairs/28 on the exact pair grid
+        (ops/wm_pallas.sched_join)."""
+        return _sched_join(self.sweeps, self.sweeps_xpairs)
 
     @property
     def is_color(self) -> bool:
@@ -163,7 +190,7 @@ class Meta:
 # video-meta scalars, e.g. 'text'/'font_size') stays visible in
 # Meta.arrays instead of silently vanishing on a save->load round trip.
 _SCALARS = {"mode", "payload_type", "alpha", "kfrac", "shape", "nonce",
-            "digest", "sweeps", "digest_v"}
+            "digest", "sweeps", "sweeps_xpairs", "digest_v"}
 
 
 def load_meta(path: str) -> Meta:
@@ -181,11 +208,14 @@ def load_meta(path: str) -> Meta:
         digest = (bytes(data["digest"].astype(np.uint8).tobytes())
                   if "digest" in keys else None)
         sweeps = int(data["sweeps"]) if "sweeps" in keys else 0
+        xpairs = (int(data["sweeps_xpairs"])
+                  if "sweeps_xpairs" in keys else 0)
         digest_v = int(data["digest_v"]) if "digest_v" in keys else 1
         arrays = {k: np.asarray(data[k]) for k in keys if k not in _SCALARS}
     return Meta(mode=mode, payload_type=payload_type, alpha=alpha,
                 kfrac=kfrac, shape=shape, nonce=nonce, digest=digest,
-                arrays=arrays, sweeps=sweeps, digest_v=digest_v)
+                arrays=arrays, sweeps=sweeps, sweeps_xpairs=xpairs,
+                digest_v=digest_v)
 
 
 def default_stego_path(out_path: str) -> str:
@@ -242,10 +272,17 @@ class VideoMeta:
     segments_done: int = 0           # finalized segment count at checkpoint
     sweeps: int = 0                  # embed-time Jacobi sweep schedule
                                      # (blocked scheme; 0 = converged/XLA)
+    sweeps_xpairs: int = 0           # extra pairs past `sweeps` full
+                                     # sweeps (fractional tiers; see Meta)
     host_sig: str = ""               # host video identity at checkpoint time
                                      # (basename:size:mtime) — binds a resume
                                      # checkpoint to the host file it started
                                      # from
+
+    def sched(self):
+        """Embed-time sweep schedule as the in-process value (see
+        Meta.sched)."""
+        return _sched_join(self.sweeps, self.sweeps_xpairs)
 
 
 def save_video_meta(path: str, m: VideoMeta) -> str:
@@ -260,6 +297,7 @@ def save_video_meta(path: str, m: VideoMeta) -> str:
               frames_done=int(m.frames_done),
               segments_done=int(m.segments_done),
               sweeps=int(m.sweeps),
+              sweeps_xpairs=int(m.sweeps_xpairs),
               host_sig=m.host_sig)
     if m.text is not None:
         kw["text"] = m.text
@@ -321,5 +359,7 @@ def load_video_meta(path: str) -> VideoMeta:
         segments_done=int(data["segments_done"])
         if "segments_done" in keys else 0,
         sweeps=int(data["sweeps"]) if "sweeps" in keys else 0,
+        sweeps_xpairs=(int(data["sweeps_xpairs"])
+                       if "sweeps_xpairs" in keys else 0),
         host_sig=str(data["host_sig"]) if "host_sig" in keys else "",
     )

@@ -264,6 +264,9 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                         start_segment, len(frame_indices))
     tp = Throughput(name="video-embed frames", log_every=0)
 
+    sched_full, sched_xp = (m_blocked.embed_schedule_used()
+                            if scheme == "blocked" else (0, 0))
+
     def _checkpoint(frames_done: int = -1, segments_done: int = 0):
         meta = metaio.VideoMeta(
             frame_indices=np.asarray(frame_indices, np.int64),
@@ -274,8 +277,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
             watermark_shape=wm_plane.shape, is_color=color,
             scheme=scheme, kfrac=kfrac,
             frames_done=frames_done, segments_done=segments_done,
-            sweeps=(m_blocked.embed_sweeps_used()
-                    if scheme == "blocked" else 0),
+            sweeps=sched_full, sweeps_xpairs=sched_xp,
             host_sig=host_sig)
         metaio.save_video_meta(meta_path, meta)
         return meta
@@ -534,9 +536,9 @@ def _load_resume_state(meta_path: str, write_path: str, scheme: str,
     # schedule replay (s_cw − sc cancellation) silently breaks for the
     # earlier frames. A rerun under a different DCTSVD_FUSED_SWEEPS — or
     # on a different backend (fused vs XLA) — must restart.
-    sweeps_now = (m_blocked.embed_sweeps_used() if scheme == "blocked"
-                  else 0)
-    if prev.sweeps != sweeps_now:
+    sched_now = (m_blocked.embed_schedule_used() if scheme == "blocked"
+                 else (0, 0))
+    if (prev.sweeps, prev.sweeps_xpairs) != sched_now:
         return None
     # pre-round-3 checkpoints carry no host_sig ("") and stay resumable;
     # any recorded signature must match the current host file exactly
@@ -729,7 +731,7 @@ def extract_watermark_video(video_path: str, meta_path: str,
             est = _recover_wm_blocked(jnp.asarray(planes),
                                       jnp.asarray(sorig), uw_d, vtw_d,
                                       alpha_d, meta.kfrac, h, w, sw=sw_d,
-                                      sweeps=meta.sweeps,
+                                      sweeps=meta.sched(),
                                       channels_last=hwc_x)
         else:
             s_now = _frame_singular_values(jnp.asarray(planes))

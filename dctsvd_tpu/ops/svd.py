@@ -61,7 +61,7 @@ def _rotation(app: jax.Array, aqq: jax.Array, apq: jax.Array):
     return c, s
 
 
-def jacobi_svd(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
+def jacobi_svd(a: jax.Array, sweeps=5, compute_uv: bool = True,
                sort_descending: bool = True, impl: str = "auto"):
     """Batched one-sided Jacobi SVD of [..., m, n] with m >= n small (≤ 32).
 
@@ -96,7 +96,7 @@ def jacobi_svd(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "compute_uv",
                                              "sort_descending"))
-def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
+def _jacobi_svd_xla(a: jax.Array, sweeps=5, compute_uv: bool = True,
                     sort_descending: bool = True):
     """Portable XLA formulation (CPU tests, non-TPU backends)."""
     *batch, m, n = a.shape
@@ -123,9 +123,8 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
     # pair instead of three; norms update algebraically.
     norms = jnp.sum(g * g, axis=1)                   # [n, B]
 
-    def sweep(carry, _):
-        g, norms, v = carry
-        for p, q in pairs:
+    def rotate(g, norms, v, rot_pairs):
+        for p, q in rot_pairs:
             gp, gq = g[p], g[q]                      # [m, B]
             app, aqq = norms[p], norms[q]
             apq = jnp.sum(gp * gq, axis=0)           # [B]
@@ -139,9 +138,26 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
                 vp, vq = v[p], v[q]
                 v = v.at[p].set(c * vp - s * vq)
                 v = v.at[q].set(s * vp + c * vq)
-        return (g, norms, v), None
+        return g, norms, v
 
-    (g, _, v), _ = jax.lax.scan(sweep, (g, norms, v), None, length=sweeps)
+    def sweep(carry, _):
+        g, norms, v = carry
+        return rotate(g, norms, v, pairs), None
+
+    # Fractional sweep counts replay the fused kernels' pair-grid
+    # schedules (ops/wm_pallas._schedule): ``full`` whole cyclic sweeps
+    # plus the first ``extra`` pairs of the next — same prefix of the
+    # same cyclic order, so a fractional-tier TPU embed extracted on
+    # this fallback keeps the (s_cw − sc) residual cancellation exact.
+    full_sweeps = int(sweeps)
+    extra = int(round((float(sweeps) - full_sweeps) * len(pairs)))
+    full_sweeps += extra // len(pairs)
+    extra %= len(pairs)
+
+    (g, norms, v), _ = jax.lax.scan(sweep, (g, norms, v), None,
+                                    length=full_sweeps)
+    if extra:
+        g, norms, v = rotate(g, norms, v, pairs[:extra])
 
     s = jnp.sqrt(jnp.sum(g * g, axis=1))            # [n, B]
     s_bn = jnp.moveaxis(s, 0, -1).reshape(*batch, n)
@@ -167,7 +183,7 @@ def _jacobi_svd_xla(a: jax.Array, sweeps: int = 5, compute_uv: bool = True,
     return u_b, s_bn, vt_b
 
 
-def jacobi_singular_values(a: jax.Array, sweeps: int = 5) -> jax.Array:
+def jacobi_singular_values(a: jax.Array, sweeps=5) -> jax.Array:
     """Values-only variant (detect path — no U/V accumulation, ~40 % cheaper;
     SURVEY.md §3.3)."""
     return jacobi_svd(a, sweeps=sweeps, compute_uv=False)

@@ -73,8 +73,15 @@ def _rotation(app, aqq, apq):
     return c, s, t, ic
 
 
-def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
+def _make_kernel(n: int, m: int, sweeps, compute_uv: bool):
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    # fractional sweep schedules: full cyclic sweeps + a prefix of the
+    # next (same pair-grid semantics as ops/wm_pallas._schedule, so a
+    # fractional-tier meta replays identically on every Jacobi path)
+    full_sweeps = int(sweeps)
+    extra_pairs = int(round((float(sweeps) - full_sweeps) * len(pairs)))
+    full_sweeps += extra_pairs // len(pairs)
+    extra_pairs %= len(pairs)
 
     def kernel(*refs):
         if compute_uv:
@@ -101,14 +108,8 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
         # algebraically and final singular values use fresh norms.
         norms = [jnp.sum(g[i] * g[i], axis=0) for i in range(n)]
 
-        def sweep(_, carry):
-            if compute_uv:
-                g, norms, v = carry
-                g, norms, v = list(g), list(norms), list(v)
-            else:
-                g, norms = list(carry[0]), list(carry[1])
-                v = None
-            for p, q in pairs:
+        def rotate(g, norms, v, rot_pairs):
+            for p, q in rot_pairs:
                 gp, gq = g[p], g[q]                      # [m, TILE]
                 app, aqq = norms[p], norms[q]
                 apq = jnp.sum(gp * gq, axis=0)           # [TILE]
@@ -121,18 +122,32 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
                     vp, vq = v[p], v[q]
                     v[p] = c * vp - s * vq
                     v[q] = s * vp + c * vq
+            return g, norms, v
+
+        def sweep(_, carry):
+            if compute_uv:
+                g, norms, v = carry
+                g, norms, v = list(g), list(norms), list(v)
+            else:
+                g, norms = list(carry[0]), list(carry[1])
+                v = None
+            g, norms, v = rotate(g, norms, v, pairs)
             if compute_uv:
                 return tuple(g), tuple(norms), tuple(v)
             return tuple(g), tuple(norms)
 
         if compute_uv:
-            g, _, v = jax.lax.fori_loop(
-                0, sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
-            g, v = list(g), list(v)
+            g, norms, v = jax.lax.fori_loop(
+                0, full_sweeps, sweep, (tuple(g), tuple(norms), tuple(v)))
+            g, norms, v = list(g), list(norms), list(v)
+            if extra_pairs:
+                g, norms, v = rotate(g, norms, v, pairs[:extra_pairs])
         else:
-            g, _ = jax.lax.fori_loop(0, sweeps, sweep,
-                                     (tuple(g), tuple(norms)))
-            g = list(g)
+            g, norms = jax.lax.fori_loop(0, full_sweeps, sweep,
+                                         (tuple(g), tuple(norms)))
+            g, norms = list(g), list(norms)
+            if extra_pairs:
+                g, norms, _ = rotate(g, norms, None, pairs[:extra_pairs])
 
         s = [jnp.sqrt(jnp.sum(g[i] * g[i], axis=0)) for i in range(n)]
 
@@ -171,7 +186,7 @@ def _make_kernel(n: int, m: int, sweeps: int, compute_uv: bool):
 @functools.partial(jax.jit,
                    static_argnames=("sweeps", "compute_uv", "tile",
                                     "interpret"))
-def jacobi_svd_pallas(a: jax.Array, sweeps: int = 5,
+def jacobi_svd_pallas(a: jax.Array, sweeps=5,
                       compute_uv: bool = True, tile: int = 512,
                       interpret: bool = False):
     """Drop-in for ops.svd.jacobi_svd on [..., m, n] f32 with n == m == 8

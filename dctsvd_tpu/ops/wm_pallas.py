@@ -84,10 +84,37 @@ def _schedule(sweeps):
     rotations, so convergence residue cancels in s_cw - sc) holds for
     any fixed prefix, so fractional tiers keep the cancellation exact.
     Integral inputs pass through unchanged (extra=0 compiles to the
-    existing loops byte-for-byte)."""
+    existing loops byte-for-byte). Fractions whose pair count rounds up
+    to a whole sweep promote into the full-sweep count (1.999 -> (2, 0),
+    never a silently-dropped 28th pair)."""
     full = int(sweeps)
     extra = int(round((float(sweeps) - full) * len(PAIRS)))
-    return full, max(0, min(extra, len(PAIRS) - 1))
+    full += extra // len(PAIRS)
+    extra %= len(PAIRS)
+    return max(0, full), extra
+
+
+def sched_split(sweeps) -> tuple:
+    """Quantize a sweep value onto the pair grid and split it into the two
+    INTEGERS that serialize it: (full_sweeps, extra_pairs 0..27). This is
+    the meta representation (io/meta.py ``sweeps`` + ``sweeps_xpairs``):
+    the replay-cancellation contract needs embed and extract to run the
+    byte-identical rotation prefix, so the schedule must ride the meta in
+    exact integer units, never as a float that a reader might re-round
+    differently."""
+    return _schedule(sweeps)
+
+
+def sched_join(full: int, xpairs: int):
+    """Inverse of sched_split: the canonical in-process sweep value. An
+    int when the schedule is integral — so every existing integral-tier
+    jit cache key, meta digest, and test stays byte-identical — else the
+    float ``full + xpairs/28``, which _schedule() recovers exactly
+    (|xpairs/28 - fl(xpairs/28)| < 2e-17, far inside round()'s basin)."""
+    full, xpairs = int(full), int(xpairs)
+    full += xpairs // len(PAIRS)
+    xpairs %= len(PAIRS)
+    return full if xpairs == 0 else full + xpairs / len(PAIRS)
 
 
 def _sum_rows(v):
@@ -489,10 +516,10 @@ def _make_spectrum_gram_kernel(sweeps: int):
         xc = [x[:, :, c, :] for c in range(B)]
         keys = [(i, j) for i in range(B) for j in range(i, B)]
         a = {(i, j): _sum_rows(xc[i] * xc[j]) for (i, j) in keys}
+        full_sweeps, extra_pairs = _schedule(sweeps)
 
-        def sweep(_, carry):
-            a = dict(zip(keys, carry))
-            for p, q in PAIRS:
+        def rotate(a, pairs):
+            for p, q in pairs:
                 app, aqq, apq = a[(p, p)], a[(q, q)], a[(p, q)]
                 c, s, t, _ = _rotation(app, aqq, apq)
                 for r in range(B):
@@ -506,11 +533,20 @@ def _make_spectrum_gram_kernel(sweeps: int):
                 a[(p, p)] = app - t * apq
                 a[(q, q)] = aqq + t * apq
                 a[(p, q)] = jnp.zeros_like(apq)      # annihilated exactly
-            return tuple(a[k] for k in keys)
+            return a
 
-        vals = jax.lax.fori_loop(0, sweeps, sweep,
+        def sweep(_, carry):
+            return tuple(rotate(dict(zip(keys, carry)), PAIRS)[k]
+                         for k in keys)
+
+        vals = jax.lax.fori_loop(0, full_sweeps, sweep,
                                  tuple(a[k] for k in keys))
         a = dict(zip(keys, vals))
+        if extra_pairs:
+            # fractional tier: same prefix of the cyclic order as the
+            # one-sided kernel (_jacobi_cols), so the docstring's
+            # same-rotation-sequence claim holds for every schedule
+            a = rotate(a, PAIRS[:extra_pairs])
         s = [jnp.sqrt(jnp.maximum(a[(i, i)], 0.0)) for i in range(B)]
         for i, j in _SORT_NET:
             swap = s[i] < s[j]
@@ -643,7 +679,7 @@ def _rows_per_cell(hb: int, wb: int) -> int:
                                               "k", "variant", "out_u8",
                                               "bf16", "channels_last"))
 def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
-                       sweeps: int = _SWEEPS_DEFAULT,
+                       sweeps=_SWEEPS_DEFAULT,
                        rows: int | None = None,
                        interpret: bool = False,
                        k: int = B, variant: str = "delta",
@@ -716,7 +752,7 @@ def embed_plane_blocks(planes: jax.Array, sws_scaled: jax.Array,
 @functools.partial(jax.jit, static_argnames=("sweeps", "rows", "interpret",
                                               "k"))
 def roundtrip_frames_blocks(frames: jax.Array, sws_scaled: jax.Array,
-                            sweeps: int = _SWEEPS_DEFAULT,
+                            sweeps=_SWEEPS_DEFAULT,
                             rows: int | None = None,
                             interpret: bool = False,
                             k: int = B):
@@ -784,7 +820,7 @@ def roundtrip_frames_blocks(frames: jax.Array, sws_scaled: jax.Array,
                                               "method", "bf16",
                                               "channels_last"))
 def spectrum_plane_blocks(planes: jax.Array,
-                          sweeps: int = _SWEEPS_DEFAULT,
+                          sweeps=_SWEEPS_DEFAULT,
                           rows: int | None = None,
                           interpret: bool = False,
                           method: str = "onesided",

@@ -342,3 +342,102 @@ def test_explicit_rows_must_divide_hb(data):
         wm_pallas.embed_plane_blocks(planes, sws, rows=3, interpret=True)
     with pytest.raises(ValueError, match="divide"):
         wm_pallas.spectrum_plane_blocks(planes, rows=5, interpret=True)
+
+
+def test_fractional_schedule_math():
+    """sched_split / sched_join: the pair-grid quantization fractional
+    tiers serialize through (io/meta.py sweeps + sweeps_xpairs). Every
+    representable schedule must round-trip exactly, integral schedules
+    must stay ints (jit cache keys / meta bytes unchanged), and a
+    fraction whose pair count rounds to a whole sweep promotes into the
+    full count instead of silently dropping the 28th pair (advisor r4)."""
+    P = len(wm_pallas.PAIRS)
+    assert P == 28
+    # exact round-trip over the whole representable grid
+    for full in range(5):
+        for xp in range(P):
+            v = wm_pallas.sched_join(full, xp)
+            assert wm_pallas.sched_split(v) == (full, xp), (full, xp, v)
+    # integral schedules stay ints through join
+    for n in range(5):
+        j = wm_pallas.sched_join(n, 0)
+        assert j == n and isinstance(j, int)
+    # canonical tiers land on the intended pair counts
+    assert wm_pallas.sched_split(1.25) == (1, 7)
+    assert wm_pallas.sched_split(1.5) == (1, 14)
+    assert wm_pallas.sched_split(1.75) == (1, 21)
+    # whole-sweep promotion (advisor r4: 1.999 used to clamp to (1, 27))
+    assert wm_pallas.sched_split(1.999) == (2, 0)
+    assert wm_pallas.sched_split(2.0) == (2, 0)
+    # join normalizes an un-normalized pair count the same way
+    assert wm_pallas.sched_join(1, 28) == 2
+    assert wm_pallas.sched_join(0, 42) == 1.5
+
+
+def test_fractional_replay_cross_path(data):
+    """The fractional-tier analog of test_spectrum_replay_cross_path:
+    a sweeps=1.5 schedule (one full cyclic sweep + the first 14 pairs of
+    the next) must replay IDENTICALLY across every Jacobi path — the
+    fused one-sided kernel, the XLA fallback's pixel-block replay, and
+    the Gram kernel — or a fractional-tier TPU embed extracted on a CPU
+    host would leave exactly the un-cancelled residual the sweep
+    machinery exists to remove (verdict r4 #1 / advisor r4)."""
+    planes, _, _, _, _ = data
+    kern = np.asarray(wm_pallas.spectrum_plane_blocks(planes, sweeps=1.5,
+                                                      interpret=True))
+    replay = np.asarray(svd.jacobi_svd(dct.blockify(planes), sweeps=1.5,
+                                       compute_uv=False))
+    np.testing.assert_allclose(replay, kern, rtol=0,
+                               atol=5e-4 * kern.max())
+
+    # the 1.5 schedule is genuinely BETWEEN s1 and s2 — not an alias of
+    # either (both neighbors differ from it by far more than replay error)
+    s1 = np.asarray(wm_pallas.spectrum_plane_blocks(planes, sweeps=1,
+                                                    interpret=True))
+    s2 = np.asarray(wm_pallas.spectrum_plane_blocks(planes, sweeps=2,
+                                                    interpret=True))
+    replay_err = np.abs(replay - kern).max()
+    assert np.abs(s1 - kern).max() > 50 * max(replay_err, 1e-6)
+    assert np.abs(s2 - kern).max() > 50 * max(replay_err, 1e-6)
+
+    # Gram kernel runs the same rotation prefix (advisor r4: it used to
+    # crash on fractional sweeps in fori_loop)
+    gram = np.asarray(wm_pallas.spectrum_plane_blocks(
+        planes, sweeps=1.5, method="gram", interpret=True))
+    np.testing.assert_allclose(gram, kern, rtol=0, atol=5e-3 * kern.max())
+
+    # the batched SVD kernel (ops/svd_pallas.py) follows the same prefix
+    from dctsvd_tpu.ops import svd_pallas
+    blocks = dct.blockify(planes)
+    flat = np.asarray(blocks).reshape(-1, 8, 8)
+    _, s_pal, _ = svd_pallas.jacobi_svd_pallas(flat, sweeps=1.5,
+                                               interpret=True)
+    _, s_xla, _ = svd._jacobi_svd_xla(jnp.asarray(flat), sweeps=1.5)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_xla),
+                               rtol=0, atol=5e-4 * kern.max())
+
+
+def test_fractional_embed_extract_cancellation(data):
+    """End-to-end additive-spread cancellation at a fractional tier: embed
+    at sweeps=1.5, read the marked spectrum back at sweeps=1.5 — the
+    partial-convergence residual (huge at 1.5 sweeps on these clustered
+    Gaussian blocks) largely cancels in (s_cw − sc), while a CONVERGED
+    read of the same marked planes (the pre-replay-machinery fallback
+    behavior) leaves it: measured rms 2.2 matched vs 10.8 converged-read
+    on this draw. That asymmetry IS the replay contract; the absolute
+    residual floor is content-dependent (degenerate clusters), which is
+    why the bound is relative, not absolute."""
+    planes, sws, h, w, n = data
+    marked, sc = wm_pallas.embed_plane_blocks(planes, sws, sweeps=1.5,
+                                              interpret=True)
+    want = np.asarray(jnp.broadcast_to(sws, np.asarray(sc).shape))
+
+    def read_err(read_sweeps):
+        s_cw = np.asarray(wm_pallas.spectrum_plane_blocks(
+            marked, sweeps=read_sweeps, interpret=True))
+        e = (s_cw - np.asarray(sc)) - want
+        return np.sqrt((e ** 2).mean())
+
+    rms_matched = read_err(1.5)
+    rms_converged = read_err(5)
+    assert rms_matched < 0.35 * rms_converged, (rms_matched, rms_converged)
