@@ -184,7 +184,8 @@ def extract(stego_path: str, meta_path: str, out_path: str,
 
 
 def detect(stego_path: str, meta_path: str,
-           thresh: Optional[float] = None) -> Tuple[bool, float]:
+           thresh: Optional[float] = None,
+           resync: bool = False) -> Tuple[bool, float]:
     """No-password NC detection (ref: app_dct_svd_single.py:291-318).
 
     Parity-mode metas score with the reference's global NC against its
@@ -194,7 +195,10 @@ def detect(stego_path: str, meta_path: str,
     (utils/config.DETECT_THRESH_BLOCKED — mark-free negatives ≤ 0.03,
     attacked positives ≥ 0.375 over 240 hosts × the alpha grid;
     ``bench.py --config detect-roc`` reproduces the table). An explicit
-    ``thresh`` overrides either default."""
+    ``thresh`` overrides either default. ``resync=True`` (blocked metas)
+    searches candidate translations when the aligned score misses — the
+    8×8 block grid makes an unaided blocked detect collapse under even a
+    1 px shift (models/blocked.detect_gray_resync)."""
     meta = metaio.load_meta(meta_path)
     stego = image_io.read_bgr(stego_path)
 
@@ -203,7 +207,8 @@ def detect(stego_path: str, meta_path: str,
         from dctsvd_tpu.utils.config import DETECT_THRESH_BLOCKED
         return m_blocked.detect_paths(
             stego, meta,
-            DETECT_THRESH_BLOCKED if thresh is None else thresh)
+            DETECT_THRESH_BLOCKED if thresh is None else thresh,
+            resync=resync)
     if thresh is None:
         thresh = DETECT_THRESH_DEFAULT
 

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decision threshold (default: 0.6 for parity "
                    "metas — the reference's — and the ROC-backed 0.30 "
                    "for blocked metas)")
+    p.add_argument("--resync", action="store_true",
+                   help="blocked metas: if the aligned score misses, "
+                   "search candidate translations (the 8x8 block grid "
+                   "makes an unaided blocked detect collapse under even "
+                   "a 1 px shift; ~225 batched detects, one dispatch "
+                   "per chunk)")
 
     p = sub.add_parser("embed-payload", help="embed text/JSON payload")
     p.add_argument("cover")
@@ -158,7 +164,8 @@ def _run(args) -> int:
         print(json.dumps({"watermark": out}))
     elif args.cmd == "detect":
         from dctsvd_tpu import api
-        found, score = api.detect(args.stego, args.meta, thresh=args.thresh)
+        found, score = api.detect(args.stego, args.meta, thresh=args.thresh,
+                                  resync=args.resync)
         print(json.dumps({"watermarked": found, "score": round(score, 4)}))
         return 0 if found else 1
     elif args.cmd == "embed-payload":

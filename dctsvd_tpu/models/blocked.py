@@ -110,20 +110,47 @@ def _pad_frames_to_blocks(x: jax.Array,
 # whose robustness budget allows it opt in with DCTSVD_FUSED_SWEEPS=1;
 # extract/detect replay the embed-time count from the meta either way.
 import os as _os
-_FUSED_SWEEPS = int(_os.environ.get("DCTSVD_FUSED_SWEEPS", "2"))
 
 
-def embed_sweeps_used() -> int:
+def _parse_sweeps_env(raw: str):
+    """DCTSVD_FUSED_SWEEPS accepts fractional tiers ('1.5' = one full
+    28-pair cyclic sweep + the first 14 pairs of a second — the s1<->s2
+    perf/quality interpolation, ops/wm_pallas._schedule). The value is
+    quantized onto the pair grid HERE, at parse time, so the schedule the
+    kernels run, the (sweeps, sweeps_xpairs) pair recorded in the meta,
+    and the digest's pair count are all derived from the same exact
+    number — a raw float flowing through would invite the silent
+    embed/extract schedule mismatch the sweep comments warn about.
+    Integral inputs stay ints (jit cache keys / metas byte-identical)."""
+    from dctsvd_tpu.ops import wm_pallas
+    return wm_pallas.sched_join(*wm_pallas.sched_split(float(raw)))
+
+
+_FUSED_SWEEPS = _parse_sweeps_env(
+    _os.environ.get("DCTSVD_FUSED_SWEEPS", "2"))
+
+
+def embed_sweeps_used():
     """The Jacobi sweep schedule the NEXT embed will run: the fused-kernel
-    sweep count, or 0 for the XLA fallback (converged jacobi_svd). Recorded
-    in the meta so extract/detect replay the same schedule — the 3-sweep
-    quality claim relies on the convergence residual cancelling in
-    (s_cw − sc), which breaks silently if the two sides run different
-    schedules (e.g. embed on TPU, extract via the CPU fallback)."""
+    sweep value (int, or a pair-grid float for fractional tiers), or 0 for
+    the XLA fallback (converged jacobi_svd). Recorded in the meta — as the
+    integer pair (sweeps, sweeps_xpairs) via embed_schedule_used — so
+    extract/detect replay the same schedule: the low-sweep quality claim
+    relies on the convergence residual cancelling in (s_cw − sc), which
+    breaks silently if the two sides run different schedules (e.g. embed
+    on TPU, extract via the CPU fallback)."""
     return _FUSED_SWEEPS if _use_fused() else 0
 
 
-def replay_sweeps(meta_sweeps: int) -> int:
+def embed_schedule_used() -> tuple:
+    """embed_sweeps_used, split into the two integers that serialize it:
+    (full sweeps, extra pairs 0..27). (0, 0) = XLA/converged embed."""
+    from dctsvd_tpu.ops import wm_pallas
+    v = embed_sweeps_used()
+    return (0, 0) if not v else wm_pallas.sched_split(v)
+
+
+def replay_sweeps(meta_sweeps):
     """FUSED-path sweep count for a meta embedded with ``meta_sweeps``
     (0 = converged/XLA embed -> the near-converged kernel default, whose
     spectra sit at the f32 floor). Callers pass ``meta.sweeps`` straight
@@ -602,6 +629,25 @@ def _extract_planes(y: jax.Array, sc: jax.Array, uw_nat: jax.Array,
     return _masked_normalize(wy, bad_nat, hp, wp, h, w, normalize)
 
 
+# Measurement-only ablation switches for the estimator's round-4
+# hardening passes (VERDICT r4 #5: itemize what each pass costs in the
+# composed serving graph). Comma-separated names in
+# DCTSVD_ESTIMATOR_ABLATE revert individual passes to their pre-hardening
+# forms at TRACE time (zero runtime cost when unset; one process per
+# ablation — tools/exp_estimator_ab.sh). Never set in production: each
+# pass exists because a measured robustness failure required it
+# (see the inline comments below).
+#   compweights — shared per-block max-dev weight instead of
+#                 per-component (reverts the resize50 polarity fix)
+#   negprior    — keep the Cauchy weight for negative measurements
+#   quantgate   — median-of-groups presence gate (knee 1.3/√gsz)
+#                 instead of the quarter order statistic (1.8/√gsz)
+#   rectify     — drop the non-negativity floor on the present path
+_ESTIMATOR_ABLATE = frozenset(
+    s for s in _os.environ.get("DCTSVD_ESTIMATOR_ABLATE", "").split(",")
+    if s)
+
+
 def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
                    k: int) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Wiener-style per-block shrinkage of the raw recovered estimate
@@ -671,13 +717,17 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     # zeroed downstream, so their weight is irrelevant — use 0.
     comp = jnp.arange(BLOCK) < k
     devk = jnp.where(comp, jnp.abs(raw - ref), 0.0)      # [..., N, 8]
-    wgt = jnp.where(comp, 1.0 / (1.0 + (devk / scale) ** 2), 0.0)
+    dev = jnp.max(devk, axis=-1, keepdims=True)          # worst of :k
+    if "compweights" in _ESTIMATOR_ABLATE:               # pre-round-4 form
+        wgt = jnp.where(comp, 1.0 / (1.0 + (dev / scale) ** 2), 0.0)
+    else:
+        wgt = jnp.where(comp, 1.0 / (1.0 + (devk / scale) ** 2), 0.0)
     # A NEGATIVE measured component is maximally implausible (singular
     # values are non-negative) — it is energy the attack removed from
     # the cover, not watermark signal. Send it fully to the prior
     # rather than letting the Cauchy weight average it in.
-    wgt = jnp.where(raw < 0.0, 0.0, wgt)
-    dev = jnp.max(devk, axis=-1, keepdims=True)          # worst of :k
+    if "negprior" not in _ESTIMATOR_ABLATE:
+        wgt = jnp.where(raw < 0.0, 0.0, wgt)
     # ρ0 as a high ORDER STATISTIC over 16 contiguous block-groups of
     # per-group Pearson, never one global correlation: (a) a global
     # Pearson is not robust — a 25%-crop's destroyed blocks carry huge
@@ -702,7 +752,10 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     ng = n // gsz
     a0 = ref[..., : ng * gsz, 0].reshape(*ref.shape[:-2], ng, gsz)
     b0 = raw[..., : ng * gsz, 0].reshape(*raw.shape[:-2], ng, gsz)
-    m = -(-ng // 4)                       # quarter of the groups, ≥ 1
+    if "quantgate" in _ESTIMATOR_ABLATE:  # round-4's pre-hardening median
+        m = -(-ng // 2)
+    else:
+        m = -(-ng // 4)                   # quarter of the groups, ≥ 1
     rho0 = jnp.sort(metrics.nc(a0, b0), axis=-1)[..., ng - m]
     # Size-aware engage threshold: a null per-group Pearson has
     # std ≈ 1/√gsz, so on small images (96², gsz=9) a fixed 0.20 knee
@@ -719,13 +772,16 @@ def _shrink_sw_hat(raw: jax.Array, sw: Optional[jax.Array],
     # leak). Still far below genuine ρ0
     # (≈0.9 clean, ≥0.5 attacked) wherever groups are big enough to
     # measure presence; undersized images fall back to the clamp path.
-    engage = rho0 >= 0.20 + 1.8 / jnp.sqrt(jnp.float32(gsz))
+    knee = 1.3 if "quantgate" in _ESTIMATOR_ABLATE else 1.8
+    engage = rho0 >= 0.20 + knee / jnp.sqrt(jnp.float32(gsz))
     # Singular values are non-negative by definition: a strongly negative
     # blended estimate can only be residual attack damage (energy LOSS in
     # the cover, not watermark signal), so floor the present-path
     # estimate at 0. Clean/JPEG/noise estimates are positive anyway
     # (raw ≈ ref ± small noise) — the floor touches nothing there.
-    shrunk = jnp.maximum(ref + wgt * (raw - ref), 0.0)
+    shrunk = ref + wgt * (raw - ref)
+    if "rectify" not in _ESTIMATOR_ABLATE:
+        shrunk = jnp.maximum(shrunk, 0.0)
     # Absent path = the round-3 estimator verbatim (clamp to the
     # plausible per-block range + erasure flags consumed by the masked
     # normalization): a majority-damaged genuine stego (≥50 % crop)
@@ -1205,17 +1261,133 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Translation resynchronization (detect under geometric misalignment)
+# ---------------------------------------------------------------------------
+#
+# An 8x8-blocked scheme is structurally alignment-sensitive: translating
+# the stego by even 1 px moves every block's content off the grid the
+# stored sc/Sw were computed on, and the detect score collapses to ~0
+# (measured — see bench.py --config robustness shift rows). The fix is a
+# search, not a smarter statistic: detect is cheap (values-only spectrum,
+# thousands of imgs/s/chip batched), so scoring every candidate
+# realignment as ONE batched detect and taking the max recovers the
+# aligned score at ~the cost of `candidates/batch-throughput`. A
+# sub-block translation needs only the 8x8 intra-block offsets; larger
+# translations additionally shift the block INDEX grid, which scrambles
+# the keyed block permutation exactly like a wrong password — scores
+# stay ~0 — so whole-block offsets must be part of the search radius,
+# not inferred. Rotation has no global realignment (the misalignment
+# varies across the frame); it is characterized as a limitation in the
+# bench table rather than silently scored.
+
+def _resync_shifts(window: int, block_radius: int):
+    """Candidate ROLL offsets covering every attacker translation with
+    |t| <= 8*block_radius + window - 1 per axis (window=8 spans all
+    sub-block offsets; block_radius adds whole-block rings)."""
+    r = BLOCK * block_radius + (window - 1)
+    return [(dy, dx) for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("kfrac", "sweeps",
+                                             "color_frames"))
+def _detect_shift_chunk(img: jax.Array, sc: jax.Array, sw: jax.Array,
+                        alpha: jax.Array, shifts: jax.Array,
+                        kfrac: float = K_FRAC_DEFAULT,
+                        sweeps: Optional[int] = None,
+                        color_frames: bool = False) -> jax.Array:
+    """Detect scores for a [S, 2] array of roll offsets of ONE image
+    ([H, W] luma plane, or [H, W, 3] BGR u8 when color_frames): the rolls
+    stack into the leading batch axis and ride the existing batched
+    detect tail (one spectrum kernel launch for the whole chunk). The
+    offsets are a DYNAMIC argument — every chunk of the search replays
+    one executable per (image shape, chunk length) instead of recompiling
+    per shift tuple."""
+    axes = (-3, -2) if color_frames else (-2, -1)
+    stack = jax.vmap(lambda s: jnp.roll(img, (s[0], s[1]), axis=axes)
+                     )(shifts)
+    h, w = (img.shape[-3], img.shape[-2]) if color_frames \
+        else (img.shape[-2], img.shape[-1])
+    k = k_of_block(kfrac)
+    if color_frames:
+        s_cw = _frames_spectrum(stack, sweeps)
+    else:
+        s_cw = _plane_spectrum(stack, sweeps)
+    sw_hat = jnp.maximum((s_cw - sc)[..., :k], 0.0) \
+        / jnp.maximum(alpha, 1e-8)
+    scores = _band_nc(sw[..., :k], sw_hat, -(-h // BLOCK), -(-w // BLOCK))
+    if color_frames:
+        scores = jnp.mean(scores, axis=-1)
+    return scores
+
+
+def _detect_resync(img, sc, sw, alpha, *, kfrac, sweeps, window,
+                   block_radius, chunk, color_frames):
+    shifts = np.asarray(_resync_shifts(window, block_radius), np.int32)
+    # pad to a chunk multiple with (0, 0) so every chunk replays the SAME
+    # executable (duplicate aligned candidates cost nothing and can only
+    # tie, never beat, the true argmax)
+    pad = (-len(shifts)) % chunk
+    if pad:
+        shifts = np.concatenate([shifts, np.zeros((pad, 2), np.int32)])
+    best_score, best_shift = -np.inf, (0, 0)
+    for i in range(0, len(shifts), chunk):
+        part = shifts[i:i + chunk]
+        scores = np.asarray(_detect_shift_chunk(
+            img, sc, sw, jnp.float32(alpha), jnp.asarray(part),
+            kfrac=kfrac, sweeps=sweeps, color_frames=color_frames))
+        j = int(np.argmax(scores))
+        if float(scores[j]) > best_score:
+            best_score, best_shift = float(scores[j]), tuple(part[j])
+    # the roll that realigned is the INVERSE of the attacker translation
+    return best_score, (-int(best_shift[0]), -int(best_shift[1]))
+
+
+def detect_gray_resync(stego_bgr_u8: jax.Array, sc: jax.Array,
+                       sw: jax.Array, alpha, kfrac: float = K_FRAC_DEFAULT,
+                       sweeps: Optional[int] = None, window: int = BLOCK,
+                       block_radius: int = 0, chunk: int = 64):
+    """Translation-searching detect on ONE [H, W, 3] frame: max detect
+    score over every candidate realignment (see module section comment).
+    Returns (score, (ty, tx)) — the estimated attacker translation in
+    pixels (0, 0 for an aligned stego; boundary blocks wrap and damage at
+    most one block ring, which the median-of-bands statistic absorbs).
+    Defaults scan the 15x15 sub-block offsets (~225 detects, one jit per
+    chunk); raise ``block_radius`` to chase whole-block translations."""
+    y = color.luma_f32(stego_bgr_u8)
+    return _detect_resync(y, sc, sw, alpha, kfrac=kfrac, sweeps=sweeps,
+                          window=window, block_radius=block_radius,
+                          chunk=chunk, color_frames=False)
+
+
+def detect_color_resync(stego_bgr_u8: jax.Array, sc: jax.Array,
+                        sw: jax.Array, alpha,
+                        kfrac: float = K_FRAC_DEFAULT,
+                        sweeps: Optional[int] = None, window: int = BLOCK,
+                        block_radius: int = 0, chunk: int = 64):
+    return _detect_resync(stego_bgr_u8, sc, sw, alpha, kfrac=kfrac,
+                          sweeps=sweeps, window=window,
+                          block_radius=block_radius, chunk=chunk,
+                          color_frames=True)
+
+
+# ---------------------------------------------------------------------------
 # Host orchestration (called from dctsvd_tpu.api for method='blocked')
 # ---------------------------------------------------------------------------
 
 # Blocked-meta digest schema version, written as `digest_v` in the meta.
 #   v1 (pre round 3, implicit — metas carry no digest_v key): HMAC over
 #      Sc/Uw/Vwt only, matching the parity modes' reference coverage.
-#   v2: HMAC additionally covers Sw + mode/alpha/kfrac/sweeps/shape.
-# extract_array verifies whichever version the meta declares, so v1 metas
-# written by earlier builds keep loading instead of failing with a
+#   v2: HMAC additionally covers Sw + mode/alpha/kfrac/sweeps/shape,
+#      with sweeps packed as the FULL-sweep count (integral tiers only).
+#   v3: identical coverage, but the sweeps slot packs the schedule's
+#      TOTAL PAIR COUNT (full*28 + extra) so fractional tiers — which a
+#      v2 digest could not represent — are authenticated exactly; the
+#      meta additionally carries `sweeps_xpairs`.
+# extract_array verifies whichever version the meta declares, so v1/v2
+# metas written by earlier builds keep loading instead of failing with a
 # misleading wrong-password error (a silent format break otherwise).
-DIGEST_V = 2
+DIGEST_V = 3
 
 
 def _digest_v1(key: bytes, sc: np.ndarray, uw: np.ndarray,
@@ -1226,23 +1398,38 @@ def _digest_v1(key: bytes, sc: np.ndarray, uw: np.ndarray,
         key, [sc.tobytes(), uw.tobytes(), vwt.tobytes()])
 
 
-def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
-            vwt: np.ndarray, sw: np.ndarray, *, mode: str, alpha: float,
-            kfrac: float, sweeps: int, shape) -> bytes:
-    """Blocked-meta HMAC, current version (DIGEST_V). Unlike the parity
-    modes (whose coverage is pinned to the reference's Sc/Uw/Vwt order —
-    io/meta.py docstring), the blocked scheme is this framework's own
-    mode tag, so it authenticates EVERYTHING extraction consumes: a
-    tampered Sw used to blank the output via the clamp, a flipped sweeps
-    count silently broke the residual cancellation, and an edited alpha
-    rescaled the result — all behind a passing digest check."""
+def _digest_scalars(key: bytes, sc, uw, vwt, sw, *, mode: str,
+                    alpha: float, kfrac: float, packed_sweeps: int,
+                    shape) -> bytes:
     import struct
     scalars = (mode.encode() + struct.pack(
-        "<ddqqq", float(alpha), float(kfrac), int(sweeps),
+        "<ddqqq", float(alpha), float(kfrac), int(packed_sweeps),
         int(shape[0]), int(shape[1])))
     return crypto.meta_digest(
         key, [sc.tobytes(), uw.tobytes(), vwt.tobytes(), sw.tobytes(),
               scalars])
+
+
+def _digest(key: bytes, sc: np.ndarray, uw: np.ndarray,
+            vwt: np.ndarray, sw: np.ndarray, *, mode: str, alpha: float,
+            kfrac: float, sweeps: int, xpairs: int = 0,
+            version: int = DIGEST_V, shape) -> bytes:
+    """Blocked-meta HMAC. Unlike the parity modes (whose coverage is
+    pinned to the reference's Sc/Uw/Vwt order — io/meta.py docstring),
+    the blocked scheme is this framework's own mode tag, so it
+    authenticates EVERYTHING extraction consumes: a tampered Sw used to
+    blank the output via the clamp, a flipped sweep schedule silently
+    broke the residual cancellation, and an edited alpha rescaled the
+    result — all behind a passing digest check. v3 packs the schedule as
+    its total PAIR count (integer, exact for fractional tiers); the v2
+    form packed the full-sweep count and is kept to VERIFY v2 metas."""
+    from dctsvd_tpu.ops import wm_pallas
+    if version >= 3:
+        packed = (int(sweeps) * len(wm_pallas.PAIRS) + int(xpairs))
+    else:
+        packed = int(sweeps)   # v2: integral tiers only, by construction
+    return _digest_scalars(key, sc, uw, vwt, sw, mode=mode, alpha=alpha,
+                           kfrac=kfrac, packed_sweeps=packed, shape=shape)
 
 
 def _indices(key, h: int, w: int):
@@ -1281,12 +1468,12 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
     sw = np.asarray(res.sw)
     out_path = metaio.default_stego_path(out_path)
     image_io.write_png(out_path, to_numpy(res.stego_bgr))
-    sweeps = embed_sweeps_used()
+    sweeps, xpairs = embed_schedule_used()
     kw = dict(mode=mode, payload_type=payload_type,
               Sc=sc, Uw=uw, Vwt=vwt, Sw=sw,
               shape=np.asarray((h, w)), alpha=float(alpha),
               kfrac=float(kfrac), block=BLOCK,
-              sweeps=sweeps)
+              sweeps=sweeps, sweeps_xpairs=xpairs)
     if extra_meta:
         kw.update(extra_meta)
     if key is not None:
@@ -1294,7 +1481,8 @@ def embed_paths(cover: np.ndarray, wm_resized: np.ndarray, out_path: str,
         kw["digest_v"] = DIGEST_V
         kw["digest"] = np.frombuffer(
             _digest(key, sc, uw, vwt, sw, mode=mode, alpha=float(alpha),
-                    kfrac=float(kfrac), sweeps=sweeps, shape=(h, w)),
+                    kfrac=float(kfrac), sweeps=sweeps, xpairs=xpairs,
+                    shape=(h, w)),
             dtype=np.uint8)
     meta_path = metaio._npz_path(meta_path)   # savez appends .npz itself
     np.savez_compressed(meta_path, **kw)
@@ -1315,7 +1503,9 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
             expected = _digest(key, sc, uw, vwt, meta.arrays["Sw"],
                                mode=meta.mode, alpha=float(meta.alpha),
                                kfrac=float(meta.kfrac),
-                               sweeps=int(meta.sweeps), shape=(h, w))
+                               sweeps=int(meta.sweeps),
+                               xpairs=int(meta.sweeps_xpairs),
+                               version=meta.digest_v, shape=(h, w))
         else:
             # pre-digest_v meta (earlier build): Sc/Uw/Vwt-only coverage.
             # Verified as written so old metas keep extracting; their
@@ -1336,7 +1526,7 @@ def extract_array(stego: np.ndarray, meta: metaio.Meta, key: bytes, *,
             jnp.asarray(vwt), inv_blk, inv_intra, jnp.float32(meta.alpha),
             kfrac=meta.kfrac, normalize=normalize,
             sw=jnp.asarray(meta.arrays["Sw"]),
-            sweeps=meta.sweeps)
+            sweeps=meta.sched())
     return to_numpy(wm)
 
 
@@ -1353,10 +1543,24 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
     return out_path
 
 
-def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float):
-    fn = detect_color if meta.mode == metaio.MODE_BLOCKED_COLOR else detect_gray
-    score = float(fn(jnp.asarray(stego), jnp.asarray(meta.arrays["Sc"]),
-                     jnp.asarray(meta.arrays["Sw"]),
+def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
+                 resync: bool = False, block_radius: int = 0):
+    """``resync=True`` additionally searches candidate translations when
+    the aligned score misses the threshold (detect_gray_resync): the
+    aligned single detect stays the fast path, and an aligned stego
+    returns the identical score it always did (the (0, 0) candidate is
+    in the search and scores are exact, not approximated)."""
+    is_color = meta.mode == metaio.MODE_BLOCKED_COLOR
+    fn = detect_color if is_color else detect_gray
+    sc = jnp.asarray(meta.arrays["Sc"])
+    sw = jnp.asarray(meta.arrays["Sw"])
+    score = float(fn(jnp.asarray(stego), sc, sw,
                      jnp.float32(meta.alpha), kfrac=meta.kfrac,
-                     sweeps=meta.sweeps))
+                     sweeps=meta.sched()))
+    if resync and score < thresh:
+        rfn = detect_color_resync if is_color else detect_gray_resync
+        score2, _shift = rfn(jnp.asarray(stego), sc, sw, meta.alpha,
+                             kfrac=meta.kfrac, sweeps=meta.sched(),
+                             block_radius=block_radius)
+        score = max(score, score2)
     return bool(score >= thresh), score

@@ -220,7 +220,9 @@ def test_image_meta_records_sweeps(tmp_path, make_image):
                             str(tmp_path / "m.npz"), password="pw",
                             method="blocked")
     meta = metaio.load_meta(mp)
-    assert meta.sweeps == m_blocked.embed_sweeps_used()
+    assert ((meta.sweeps, meta.sweeps_xpairs)
+            == m_blocked.embed_schedule_used())
+    assert meta.sched() == m_blocked.embed_sweeps_used()
 
 
 def test_serve_verify_matches_split(make_image):
@@ -384,3 +386,74 @@ def test_extraction_prior_gated_on_presence(make_image, rng):
     unrel = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
     assert nc(extract(unrel), wm) < 0.6          # no near-perfect leak
     assert nc(extract(cover), wm) < 0.5          # clean original -> nothing
+
+
+def test_fractional_tier_end_to_end(tmp_path, make_image, monkeypatch):
+    """Full product path at a fractional tier (DCTSVD_FUSED_SWEEPS=1.5):
+    fused embed (interpret kernels standing in for the TPU) -> meta
+    records the schedule as the integer pair (1, 14) with a v3 digest ->
+    extraction replays it BOTH on the fused path and on the XLA fallback
+    (cross-backend replay, verdict r4 #1 / advisor r4: the schedule used
+    to die in int() parses and int64 meta slots before reaching either).
+    """
+    import cv2
+    import jax
+    from dctsvd_tpu.io import meta as metaio
+    from dctsvd_tpu.models import blocked as m_blocked
+    from dctsvd_tpu.ops import wm_pallas, metrics
+
+    # force the fused dispatch with interpret-mode kernels on CPU, at the
+    # 1.5 tier; unique image size so no earlier trace is replayed
+    import functools, types
+    for name in ("embed_plane_blocks", "spectrum_plane_blocks"):
+        orig = getattr(wm_pallas, name)
+        shim = types.SimpleNamespace(__wrapped__=functools.partial(
+            orig.__wrapped__, interpret=True))
+        monkeypatch.setattr(wm_pallas, name, shim)
+    monkeypatch.setattr(m_blocked, "_USE_FUSED_MEMO", [True])
+    monkeypatch.setattr(m_blocked, "_FUSED_SWEEPS",
+                        m_blocked._parse_sweeps_env("1.5"))
+    assert m_blocked._FUSED_SWEEPS == 1.5
+    assert m_blocked.embed_schedule_used() == (1, 14)
+    jax.clear_caches()   # drop traces that baked in the non-fused branch
+
+    cover, wm = make_image(72, 88), make_image(40, 40, blur=False)
+    wm_gray = cv2.cvtColor(wm, cv2.COLOR_BGR2GRAY)
+    cp, wp = str(tmp_path / "c.png"), str(tmp_path / "w.png")
+    cv2.imwrite(cp, cover)
+    cv2.imwrite(wp, wm)
+    out, mp, *_ = api.embed(cp, wp, str(tmp_path / "s.png"),
+                            str(tmp_path / "m.npz"), alpha=0.12,
+                            password=PW, method="blocked")
+    meta = metaio.load_meta(mp)
+    assert (meta.sweeps, meta.sweeps_xpairs) == (1, 14)
+    assert meta.sched() == 1.5
+    assert meta.digest_v == m_blocked.DIGEST_V
+
+    def _nc(path):
+        rec = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        rec = cv2.resize(rec, (wm_gray.shape[1], wm_gray.shape[0]))
+        a = rec.astype(np.float32) - rec.mean()
+        b = wm_gray.astype(np.float32) - wm_gray.mean()
+        return float((a * b).sum()
+                     / np.sqrt((a * a).sum() * (b * b).sum()))
+
+    fused_out = str(tmp_path / "rec_fused.png")
+    api.extract(out, mp, fused_out, password=PW, enhance=False)
+    nc_fused = _nc(fused_out)
+    assert nc_fused > 0.9, nc_fused
+    ok, score = api.detect(out, mp)
+    assert ok and score > 0.9, score
+
+    # same meta, XLA fallback extraction: svd.jacobi_svd replays the
+    # (1, 14) pixel-block schedule exactly, so the recovered mark matches
+    # the fused extraction to rounding
+    monkeypatch.setattr(m_blocked, "_USE_FUSED_MEMO", [False])
+    jax.clear_caches()
+    xla_out = str(tmp_path / "rec_xla.png")
+    api.extract(out, mp, xla_out, password=PW, enhance=False)
+    nc_xla = _nc(xla_out)
+    assert nc_xla > 0.9, nc_xla
+    f = cv2.imread(fused_out, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    x = cv2.imread(xla_out, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    assert np.abs(f - x).max() <= 2.0, np.abs(f - x).max()

@@ -187,3 +187,56 @@ def test_blocked_extract_resize_restore_polarity(assets):
     b = wm_ref.astype(np.float64).ravel() - wm_ref.mean()
     nc = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-8))
     assert nc > 0.6, nc
+
+
+def test_blocked_detect_translation_resync(assets):
+    """Geometric misalignment (VERDICT r4 #2): a sub-block translation
+    (border-replicate warp, not a wrapping roll) collapses the unaided
+    blocked detect to ~0 — the 8×8 grid's structural weakness — and the
+    translation-resync search recovers the aligned score AND the exact
+    shift. The aligned stego must keep its plain score through the
+    resync path (the (0,0) candidate is scored exactly)."""
+    import jax.numpy as jnp
+    from dctsvd_tpu.io import meta as metaio
+    from dctsvd_tpu.models import blocked
+    d, cp, wp = assets
+    out, mp, _, _ = api.embed(cp, wp, str(d / "geo.png"),
+                              str(d / "geo_m.npz"), alpha=0.13,
+                              password="pw", method="blocked")
+    ok, aligned = api.detect(out, mp)
+    assert ok and aligned > 0.8
+
+    stego = cv2.imread(out, cv2.IMREAD_COLOR)
+    meta = metaio.load_meta(mp)
+    sc = jnp.asarray(meta.arrays["Sc"])
+    sw = jnp.asarray(meta.arrays["Sw"])
+    # plain-detect degradation is content-dependent (this σ3-blurred host
+    # degrades gracefully: 0.87 at 3 px) but ALWAYS collapses by (7,7);
+    # resync must recover ~1.0 and the exact shift everywhere
+    for (sy, sx), plain_max in (((2, 3), 0.9), ((4, 4), 0.5),
+                                ((7, 7), 0.1)):
+        m = np.float32([[1, 0, sx], [0, 1, sy]])
+        shifted = cv2.warpAffine(stego, m,
+                                 (stego.shape[1], stego.shape[0]),
+                                 borderMode=cv2.BORDER_REPLICATE)
+        plain = float(blocked.detect_gray(jnp.asarray(shifted[None]),
+                                          sc, sw,
+                                          jnp.float32(meta.alpha))[0])
+        assert plain < plain_max, (sy, sx, plain)
+        score, t = blocked.detect_gray_resync(jnp.asarray(shifted), sc,
+                                              sw, meta.alpha)
+        assert score > 0.95, (sy, sx, score)
+        assert t == (sy, sx), (t, (sy, sx))
+    # api surface: resync rescues the file-level detect at the collapse
+    sp = str(d / "geo_shift77.png")
+    cv2.imwrite(sp, shifted)
+    ok_plain, s_plain = api.detect(sp, mp)
+    ok_rs, s_rs = api.detect(sp, mp, resync=True)
+    assert not ok_plain and s_plain < 0.1
+    assert ok_rs and s_rs > 0.95
+
+    # aligned stego through the resync entry point: same score, (0, 0)
+    score0, t0 = blocked.detect_gray_resync(jnp.asarray(stego), sc, sw,
+                                            meta.alpha)
+    assert t0 == (0, 0)
+    assert abs(score0 - aligned) < 1e-3
