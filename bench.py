@@ -255,7 +255,56 @@ def bench_video(frames=150, h=1080, w=1920, interval=10, scheme="blocked"):
     dt = time.time() - t0
     log(f"video embed: {dt:.1f}s for {frames} frames "
         f"({-(-frames // interval)} marked)")
-    return frames / dt
+    e2e_fps = frames / dt
+
+    # --- split metric (VERDICT r4 #3): device-step fps vs host-codec fps
+    # as separate artifacts, so "the e2e number is host-bound" is
+    # measurable, and a regression in either half is visible on its own.
+    from dctsvd_tpu.io import video_io
+
+    # (a) codec ceiling: decode -> async encode, ZERO device work — the
+    # identical reader/writer machinery the embed loop uses
+    t0 = time.time()
+    with video_io.VideoReader(host) as reader:
+        with video_io.VideoWriter(f"{tmp}/codec_only.mp4", reader.fps,
+                                  reader.width, reader.height) as writer:
+            enc = video_io.AsyncEncoder(writer)
+            n_codec = 0
+            for _idx, frame in video_io.iter_frames_threaded(reader):
+                enc.write(frame)
+                n_codec += 1
+            enc.close()
+    codec_fps = n_codec / (time.time() - t0)
+    log(f"codec-only (decode+encode, no device): {codec_fps:.1f} fps")
+
+    # (b) device step: the marked-frame embed dispatch alone, frames
+    # device-resident, chained-accumulator methodology (same as the image
+    # benches — the host link/codecs are exactly what this EXCLUDES)
+    if scheme == "blocked":
+        import jax.numpy as jnp
+        from dctsvd_tpu.models import video as mv
+        rng2 = np.random.default_rng(1)
+        marked_batch = 8
+        dev_frames = jnp.asarray(rng2.integers(
+            0, 256, (marked_batch, h, w, 3), np.uint8))
+        _, sw_d, _ = mv._wm_svd_blocked(
+            jnp.asarray(rng2.integers(0, 256, (h, w), np.uint8)))
+        alpha_d = jnp.float32(0.1)
+        out, s = mv._embed_frames_color_blocked(dev_frames, sw_d, alpha_d)
+        _ = np.asarray(s[0, 0])          # sync compile+first
+        reps, t0 = 6, time.time()
+        acc = None
+        for _ in range(reps):
+            out, s = mv._embed_frames_color_blocked(out, sw_d, alpha_d)
+            acc = s if acc is None else acc + s
+        _ = np.asarray(acc[0, 0])        # one sync for the chain
+        device_fps = marked_batch * reps / (time.time() - t0)
+        log(f"device-step (marked-frame embed only): {device_fps:.1f} "
+            f"marked fps = {device_fps * interval:.0f} clip fps at "
+            f"interval {interval}")
+    else:
+        device_fps = None
+    return e2e_fps, codec_fps, device_fps
 
 
 def _host_nc(a, b):
@@ -313,7 +362,10 @@ def bench_robustness(h=2160, w=3840,
                            interpolation=cv2.INTER_AREA)
         resized = cv2.resize(small, (w, h),
                              interpolation=cv2.INTER_LINEAR)
+        ok30, enc30 = cv2.imencode(".jpg", stego_np,
+                                   [cv2.IMWRITE_JPEG_QUALITY, 30])
         return {"jpeg_q50": cv2.imdecode(enc, cv2.IMREAD_COLOR),
+                "jpeg_q30": cv2.imdecode(enc30, cv2.IMREAD_COLOR),
                 "noise_s5": noisy, "crop25": cropped,
                 "resize50": resized}
 
@@ -341,6 +393,87 @@ def bench_robustness(h=2160, w=3840,
         log(f"alpha={a:.2f}: {row}")
     log(f"4K robustness sweep table: {json.dumps(table)}")
     return worst_detect, table
+
+
+def bench_geometric(h=2160, w=3840, alphas=(0.10, 0.13, 0.18)):
+    """Geometric-misalignment characterization (VERDICT r4 #2): the
+    classic weakness of an 8×8-blocked scheme. Sub-block translations
+    ({1,2,4} px, border-replicate warp — NOT wrapping rolls) collapse the
+    unaided blocked detect to ~0; the translation-resync search
+    (models/blocked.detect_gray_resync: every candidate realignment
+    scored as one batched detect, max taken) must recover it. Rotation
+    has no global realignment — its rows characterize the limitation
+    honestly (displacement grows with radius, so a 4K frame is the hard
+    case: 1° ≈ 38 px at the corners). The FULL parity scheme (whole-frame
+    SVD, the reference's own detect contract
+    ref app_dct_svd_single.py:291-318) runs the same battery as the
+    fallback column. Returns (min resync-detect over the translation
+    rows, table)."""
+    import cv2
+    import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.models import image as m_image
+    from dctsvd_tpu.ops import color as c_ops
+    from dctsvd_tpu.utils import crypto
+
+    frames, wm, blk, intra = _inputs(1, h, w)
+    wm_gray_d = c_ops.bgr_to_gray(wm)
+    pw = blocked.prepare_wm_gray(wm_gray_d, blk, intra)
+    key = crypto.derive_key("bench", bytes(range(8)))
+    perm_idx = jnp.asarray(crypto.permutation_indices(key, h * w))
+
+    def geo_attacks(stego_np):
+        out = {}
+        for s in (1, 2, 4):
+            m = np.float32([[1, 0, s], [0, 1, s]])
+            out[f"shift{s}"] = (cv2.warpAffine(
+                stego_np, m, (w, h), borderMode=cv2.BORDER_REPLICATE),
+                True)
+        for deg in (0.25, 1.0):
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
+            out[f"rot{deg}"] = (cv2.warpAffine(
+                stego_np, m, (w, h), borderMode=cv2.BORDER_REPLICATE),
+                True)
+        return out
+
+    # full-scheme reference column: whole-frame SVD detect on the SAME
+    # attacked pixels (its sc is the whole-frame spectrum)
+    def full_detect(img_np, s_cover, sw_full, alpha):
+        return float(m_image.detect_gray(
+            jnp.asarray(img_np), s_cover, sw_full, jnp.float32(alpha)))
+
+    table = {}
+    worst_resync = 1.0
+    for a in alphas:
+        alpha = jnp.float32(a)
+        stego, sc, _, _ = blocked.embed_gray_prepared(
+            frames, pw.sw, alpha, with_metrics=False)
+        stego_np = np.asarray(stego)[0]
+
+        # full-scheme embed of the same cover/watermark for the fallback
+        # column (gray parity path)
+        fr = m_image.embed_gray(frames[0], wm_gray_d, perm_idx, alpha)
+        stego_full = np.asarray(fr.stego_bgr)
+        row = {}
+        for name, (img, try_resync) in geo_attacks(stego_np).items():
+            img_d = jnp.asarray(img[None])
+            plain = float(blocked.detect_gray(img_d, sc, pw.sw, alpha)[0])
+            cell = {"detect": round(plain, 4)}
+            if try_resync:
+                score, t = blocked.detect_gray_resync(
+                    jnp.asarray(img), sc[0], pw.sw, alpha)
+                cell["resync"] = round(score, 4)
+                cell["est_shift"] = list(t)
+                if name.startswith("shift"):
+                    worst_resync = min(worst_resync, score)
+            table.setdefault(f"alpha={a:.2f}", {})[name] = cell
+        # the full parity scheme under the same attacks, against ITS stego
+        for name, (img, _) in geo_attacks(stego_full).items():
+            det = full_detect(img, fr.sc, fr.sw, a)
+            table[f"alpha={a:.2f}"][name]["full_scheme"] = round(det, 4)
+        log(f"alpha={a:.2f}: {table[f'alpha={a:.2f}']}")
+    log(f"4K geometric table: {json.dumps(table)}")
+    return worst_resync, table
 
 
 def _roc_host(i: int, h: int, w: int) -> np.ndarray:
@@ -381,7 +514,87 @@ def _roc_host(i: int, h: int, w: int) -> np.ndarray:
     return img
 
 
-def bench_detect_roc(h=512, w=512, n_hosts=240,
+def _natural_host(i: int, h: int, w: int) -> np.ndarray:
+    """Natural-STATISTICS clean host #i (BGR u8) for the ROC's natural
+    corpus (VERDICT r4 #4): no real photos ship in this zero-egress
+    environment, so these are composites built on the statistical models
+    the natural-image literature uses as photo stand-ins — 1/f spectral
+    (pink) noise, the dead-leaves occlusion model (power-law disc sizes:
+    scale-invariant edges + flat regions, the classic generator of
+    photographic second-order statistics), film-grain over smooth scenes,
+    and multi-octave value-noise texture mixes. All four have the
+    content-correlated block statistics (long-range correlation, edge
+    structure, heavy-tailed gradients) the synthetic families lack —
+    exactly what could brush the presence gate's knee."""
+    import cv2
+    rng = np.random.default_rng(777_000 + i)
+    fam = i % 4
+    if fam == 0:                                   # 1/f^beta spectral noise
+        beta = 0.8 + 0.6 * rng.random()
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.rfftfreq(w)[None, :]
+        amp = 1.0 / np.maximum(np.hypot(fy, fx), 1.0 / max(h, w)) ** beta
+        chans = []
+        base_phase = rng.uniform(0, 2 * np.pi, amp.shape)
+        for c in range(3):
+            # channels share most phase structure (like RGB photos do)
+            ph = base_phase + rng.normal(0, 0.35, amp.shape)
+            x = np.fft.irfft2(amp * np.exp(1j * ph), s=(h, w))
+            lo, hi = np.percentile(x, [1, 99])
+            chans.append(np.clip((x - lo) * (255.0 / max(hi - lo, 1e-6)),
+                                 0, 255))
+        img = np.stack(chans, -1).astype(np.uint8)
+    elif fam == 1:                                 # dead leaves
+        img = np.full((h, w, 3), rng.integers(0, 256, 3), np.uint8)
+        # power-law radii r ~ r^-3 on [4, h/2]: scale-invariant occlusions
+        u = rng.random(220)
+        rmin, rmax = 4.0, h / 2.0
+        radii = rmin / np.sqrt(1 - u * (1 - (rmin / rmax) ** 2))
+        pal = rng.integers(0, 256, 3).astype(np.float32)
+        for r in radii:
+            col = np.clip(pal + rng.normal(0, 60, 3), 0, 255)
+            cv2.circle(img, (int(rng.integers(0, w)),
+                             int(rng.integers(0, h))), int(r),
+                       tuple(int(v) for v in col), -1)
+        img = cv2.GaussianBlur(img, (0, 0), 0.8)   # optical softness
+    elif fam == 2:                                 # film grain over smooth scene
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = np.zeros((h, w), np.float32)
+        for _ in range(5):                         # soft luminance blobs
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            s = rng.uniform(h / 6, h / 2)
+            base += rng.uniform(30, 110) * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+        tint = rng.uniform(0.6, 1.4, 3)
+        img = np.clip(base[..., None] * tint[None, None], 0, 255)
+        grain = cv2.GaussianBlur(
+            rng.normal(0, rng.uniform(4, 12), (h, w)).astype(np.float32),
+            (0, 0), 0.6)                           # spatially correlated grain
+        vig = 1.0 - 0.35 * (((yy - h / 2) / h) ** 2
+                            + ((xx - w / 2) / w) ** 2)
+        img = np.clip((img + grain[..., None]) * vig[..., None],
+                      0, 255).astype(np.uint8)
+    else:                                          # multi-octave texture mix
+        acc = np.zeros((h, w), np.float32)
+        for oct_ in range(3, 7):                   # value noise octaves
+            side = 1 << oct_
+            small = rng.random((side, side)).astype(np.float32)
+            acc += cv2.resize(small, (w, h),
+                              interpolation=cv2.INTER_CUBIC) / (1.4 ** oct_)
+        acc = (acc - acc.min()) / max(acc.max() - acc.min(), 1e-6)
+        # two texture "materials" mixed through a smooth mask
+        mask = (acc > np.median(acc)).astype(np.float32)
+        mask = cv2.GaussianBlur(mask, (0, 0), 6)
+        t1 = np.clip(80 + 150 * acc + rng.normal(0, 6, (h, w)), 0, 255)
+        t2 = np.clip(170 - 120 * acc + rng.normal(0, 10, (h, w)), 0, 255)
+        lum = mask * t1 + (1 - mask) * t2
+        tint = rng.uniform(0.7, 1.3, 3)
+        img = np.clip(lum[..., None] * tint[None, None],
+                      0, 255).astype(np.uint8)
+    return np.ascontiguousarray(img)
+
+
+def bench_detect_roc(h=512, w=512, n_hosts=240, n_natural=144,
                      alphas=(0.10, 0.14, 0.18, 0.22)):
     """Operating-point characterization of the band-median detector
     (VERDICT r3 #3): the blocked detect statistic changed from one global
@@ -396,7 +609,11 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
     (clean/JPEG-q50/noise-σ5/25%-crop) across the alpha grid, then
     reports the two distributions, the separation margin, and FPR/TPR at
     both the reference-carried 0.6 and the ROC-backed blocked default
-    0.30 (utils.config.DETECT_THRESH_BLOCKED).
+    0.30 (utils.config.DETECT_THRESH_BLOCKED). ``n_natural`` additional
+    hosts from the natural-statistics families (_natural_host: 1/f
+    spectra, dead leaves, film grain, texture mixes — VERDICT r4 #4) run
+    the same battery; their scores fold into the headline distributions
+    and are ALSO reported separately under stats['natural'].
     Match: detect contract, ref app_dct_svd_single.py:284-318."""
     import cv2
     import jax.numpy as jnp
@@ -414,68 +631,96 @@ def bench_detect_roc(h=512, w=512, n_hosts=240,
                                  jnp.asarray(intra), extract_basis=False)
 
     B = 12                                   # hosts per device batch
-    per_alpha = n_hosts // len(alphas)
-    per_alpha -= per_alpha % B
-    neg, pos = [], {"clean_stego": [], "jpeg_q50": [], "noise_s5": [],
-                    "crop25": []}
-    host_idx = 0
-    for a in alphas:
-        alpha = jnp.float32(a)
-        for _ in range(per_alpha // B):
-            hosts = np.stack([_roc_host(host_idx + j, h, w)
-                              for j in range(B)])
-            host_idx += B
-            hosts_d = jnp.asarray(hosts)
-            stego, sc, _, _ = blocked.embed_gray_prepared(
-                hosts_d, pw.sw, alpha, with_metrics=False)
-            stego_np = np.asarray(stego)
-            # negatives: the un-watermarked original against its own meta
-            # (delta ≈ 0), the original perturbed WITHOUT the mark
-            # (brightness / re-encode / noise — profile-shaped deltas),
-            # and unrelated hosts both cross-family (roll 1) and
-            # same-family (roll 4; family = index % 4)
-            bright = np.clip(hosts.astype(np.int16) + 6, 0,
-                             255).astype(np.uint8)
-            jorig = np.stack([
-                cv2.imdecode(cv2.imencode(
-                    ".jpg", x, [cv2.IMWRITE_JPEG_QUALITY, 70])[1],
-                    cv2.IMREAD_COLOR) for x in hosts])
-            norig = np.clip(hosts.astype(np.float32)
-                            + rng.normal(0, 3, hosts.shape),
-                            0, 255).astype(np.uint8)
-            for neg_batch in (hosts, bright, jorig, norig,
-                              np.roll(hosts, 1, axis=0),
-                              np.roll(hosts, 4, axis=0)):
-                neg.extend(np.asarray(blocked.detect_gray(
-                    jnp.asarray(neg_batch), sc, pw.sw, alpha)).tolist())
-            # positives: the stego under no attack and the three attacks
-            jpeg = np.stack([
-                cv2.imdecode(cv2.imencode(
-                    ".jpg", s, [cv2.IMWRITE_JPEG_QUALITY, 50])[1],
-                    cv2.IMREAD_COLOR) for s in stego_np])
-            noisy = np.clip(stego_np.astype(np.float32)
-                            + rng.normal(0, 5, stego_np.shape),
-                            0, 255).astype(np.uint8)
-            cropped = stego_np.copy()
-            cropped[:, : h // 4] = 0
-            for name, batch_np in (("clean_stego", stego_np),
-                                   ("jpeg_q50", jpeg),
-                                   ("noise_s5", noisy),
-                                   ("crop25", cropped)):
-                pos[name].extend(np.asarray(blocked.detect_gray(
-                    jnp.asarray(batch_np), sc, pw.sw, alpha)).tolist())
-        log(f"alpha={a:.2f}: {host_idx} hosts scored")
 
-    neg_a = np.asarray(neg)
-    pos_a = np.concatenate([np.asarray(v) for v in pos.values()])
+    def _score_corpus(host_fn, n, tag):
+        """Embed/attack/score ``n`` hosts drawn from ``host_fn`` through
+        the full negative+positive battery; returns (neg, pos, count)."""
+        per_alpha = n // len(alphas)
+        per_alpha -= per_alpha % B
+        neg = []
+        pos = {"clean_stego": [], "jpeg_q50": [], "noise_s5": [],
+               "crop25": []}
+        host_idx = 0
+        for a in alphas:
+            alpha = jnp.float32(a)
+            for _ in range(per_alpha // B):
+                hosts = np.stack([host_fn(host_idx + j, h, w)
+                                  for j in range(B)])
+                host_idx += B
+                hosts_d = jnp.asarray(hosts)
+                stego, sc, _, _ = blocked.embed_gray_prepared(
+                    hosts_d, pw.sw, alpha, with_metrics=False)
+                stego_np = np.asarray(stego)
+                # negatives: the un-watermarked original against its own meta
+                # (delta ≈ 0), the original perturbed WITHOUT the mark
+                # (brightness / re-encode / noise — profile-shaped deltas),
+                # and unrelated hosts both cross-family (roll 1) and
+                # same-family (roll 4; family = index % 4)
+                bright = np.clip(hosts.astype(np.int16) + 6, 0,
+                                 255).astype(np.uint8)
+                jorig = np.stack([
+                    cv2.imdecode(cv2.imencode(
+                        ".jpg", x, [cv2.IMWRITE_JPEG_QUALITY, 70])[1],
+                        cv2.IMREAD_COLOR) for x in hosts])
+                norig = np.clip(hosts.astype(np.float32)
+                                + rng.normal(0, 3, hosts.shape),
+                                0, 255).astype(np.uint8)
+                for neg_batch in (hosts, bright, jorig, norig,
+                                  np.roll(hosts, 1, axis=0),
+                                  np.roll(hosts, 4, axis=0)):
+                    neg.extend(np.asarray(blocked.detect_gray(
+                        jnp.asarray(neg_batch), sc, pw.sw, alpha)).tolist())
+                # positives: the stego under no attack and the three attacks
+                jpeg = np.stack([
+                    cv2.imdecode(cv2.imencode(
+                        ".jpg", s, [cv2.IMWRITE_JPEG_QUALITY, 50])[1],
+                        cv2.IMREAD_COLOR) for s in stego_np])
+                noisy = np.clip(stego_np.astype(np.float32)
+                                + rng.normal(0, 5, stego_np.shape),
+                                0, 255).astype(np.uint8)
+                cropped = stego_np.copy()
+                cropped[:, : h // 4] = 0
+                for name, batch_np in (("clean_stego", stego_np),
+                                       ("jpeg_q50", jpeg),
+                                       ("noise_s5", noisy),
+                                       ("crop25", cropped)):
+                    pos[name].extend(np.asarray(blocked.detect_gray(
+                        jnp.asarray(batch_np), sc, pw.sw, alpha)).tolist())
+            log(f"[{tag}] alpha={a:.2f}: {host_idx} hosts scored")
+        return neg, pos, host_idx
+
+    neg, pos, host_idx = _score_corpus(_roc_host, n_hosts, "synthetic")
+    # natural-statistics corpus (VERDICT r4 #4): same battery over hosts
+    # whose block statistics mimic photographs (_natural_host) — the
+    # content class where a content-correlated statistic could brush the
+    # presence gate's knee. Scored separately below AND folded into the
+    # headline distributions.
+    nat_neg, nat_pos, nat_idx = _score_corpus(_natural_host, n_natural,
+                                              "natural")
+
+    nat_neg_a = np.asarray(nat_neg)
+    nat_pos_a = np.concatenate([np.asarray(v) for v in nat_pos.values()])
+    neg_a = np.asarray(neg + nat_neg)
+    pos_a = np.concatenate([np.asarray(v) for v in pos.values()]
+                           + [nat_pos_a])
     stats = {
-        "n_clean_hosts": host_idx,
-        "n_neg_scores": len(neg), "n_pos_scores": len(pos_a),
+        "n_clean_hosts": host_idx + nat_idx,
+        "n_neg_scores": len(neg_a), "n_pos_scores": len(pos_a),
+        "natural": {
+            "n_hosts": nat_idx,
+            "n_neg_scores": len(nat_neg_a),
+            "neg_max": round(float(nat_neg_a.max()), 4),
+            "neg_p99": round(float(np.percentile(nat_neg_a, 99)), 4),
+            "pos_min": round(float(nat_pos_a.min()), 4),
+            "fpr_at_0.30": round(float(np.mean(nat_neg_a >= 0.30)), 4),
+            "tpr_at_0.30": round(float(np.mean(nat_pos_a >= 0.30)), 4),
+        },
         "neg": {"min": round(float(neg_a.min()), 4),
                 "mean": round(float(neg_a.mean()), 4),
                 "p99": round(float(np.percentile(neg_a, 99)), 4),
                 "max": round(float(neg_a.max()), 4)},
-        "pos_min_by_attack": {k: round(float(np.min(v)), 4)
+        "pos_min_by_attack": {k: round(float(min(np.min(v),
+                                                 np.min(nat_pos[k]))), 4)
                               for k, v in pos.items()},
         "pos": {"min": round(float(pos_a.min()), 4),
                 "p1": round(float(np.percentile(pos_a, 1)), 4),
@@ -644,18 +889,25 @@ def bench_mesh_scaling(n_devices=8, h=512, w=512, per_dev_batch=2,
         jax.block_until_ready((rec, scores))
         return frames.shape[0] * iters / (time.time() - t0)
 
-    fps1 = run(mesh_lib.make_mesh(1, devices=devs))
-    fpsn = run(mesh_lib.make_mesh(n_devices, devices=devs))
     # Virtual CPU devices timeshare the SAME physical core(s): total work
     # is fixed, so the ideal here is FLAT wall time (ratio 1.0) — the
     # ratio measures the partitioning/collective overhead of the sharded
-    # program, while real scaling needs real chips (the identical code
-    # path the dryrun validates).
-    log(f"serving step {h}x{w} gray, fixed total batch: mesh=1 "
-        f"{fps1:.1f} fps, mesh={n_devices} {fpsn:.1f} fps -> sharding "
-        f"overhead {max(0.0, (fps1 / fpsn - 1) * 100):.0f}% "
-        f"(ideal 0% on shared cores; real chips would scale the batch)")
-    return fps1, fpsn
+    # program AT EACH MESH SIZE (VERDICT r4 #7: the DP extrapolation
+    # should rest on a curve, not the size-8 point), while real scaling
+    # needs real chips (the identical code path the dryrun validates).
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_devices]
+    if n_devices not in sizes:
+        sizes.append(n_devices)
+    curve = {}
+    for s_ in sizes:
+        curve[s_] = run(mesh_lib.make_mesh(s_, devices=devs))
+        log(f"serving step {h}x{w} gray, fixed total batch: mesh={s_} "
+            f"{curve[s_]:.1f} fps (overhead vs mesh=1 "
+            f"{max(0.0, (curve[sizes[0]] / curve[s_] - 1) * 100):.0f}%)")
+    fps1, fpsn = curve[sizes[0]], curve[n_devices]
+    log(f"sharding-overhead curve (fps by mesh size): "
+        f"{json.dumps({str(k): round(v, 1) for k, v in curve.items()})}")
+    return fps1, fpsn, curve
 
 
 def _require_backend(timeout_s: int = 900):
@@ -690,7 +942,8 @@ def main():
     p.add_argument("--config", default="1080p",
                    choices=["1080p", "1080pgray", "512gray", "detect",
                             "video", "robustness", "4k", "mesh",
-                            "1080p-full", "detect-roc", "8k-plane"])
+                            "1080p-full", "detect-roc", "8k-plane",
+                            "geometric"])
     p.add_argument("--mesh-devices", type=int, default=8)
     # batch sweep on v5e (round 3, s2 serving): 96 -> 490 fps, 112 -> 506,
     # 128 -> 517/518 (two runs), 144 -> 465, 160 -> 474, 192 -> 491;
@@ -700,6 +953,10 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--scheme", choices=["blocked", "full"],
                    default="blocked", help="video bench scheme")
+    # parity-path frame batch (VERDICT r4 #6): the whole-frame QDWH SVD
+    # batches over frames via vmap; 2 was the round-2 value, larger
+    # batches amortize the per-dispatch overhead of the 6 big SVDs
+    p.add_argument("--full-batch", type=int, default=8)
     args = p.parse_args()
 
     if args.config != "mesh":      # mesh runs on the CPU platform and
@@ -744,7 +1001,8 @@ def main():
             "value": round(fps, 2), "unit": "images/sec/chip",
             "vs_baseline": round(fps * REF_DETECT_1080P_S, 1)}))
     elif args.config == "1080p-full":
-        fps = bench_full_path(1080, 1920, batch=2, iters=args.iters)
+        fps = bench_full_path(1080, 1920, batch=args.full_batch,
+                              iters=args.iters)
         # reference gray 1080p model (see REF_1080P_GRAY_S)
         print(json.dumps({
             "metric": "1080p gray embed+extract throughput (FULL parity "
@@ -757,7 +1015,8 @@ def main():
             "metric": "blocked band-median detect operating point: "
                       "separation margin (min attacked-stego score - max "
                       "mark-free score incl. perturbed originals) over "
-                      f"{stats['n_clean_hosts']} varied clean hosts x "
+                      f"{stats['n_clean_hosts']} varied clean hosts "
+                      "(synthetic + natural-statistics corpora) x "
                       "alpha 0.10-0.22; blocked default threshold 0.30 "
                       "holds iff fpr=0/tpr=1 (logged table)",
             "value": stats["separation_margin"], "unit": "NC score",
@@ -780,8 +1039,12 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.mesh_devices)
-        fps1, fpsn = bench_mesh_scaling(args.mesh_devices)
+        fps1, fpsn, curve = bench_mesh_scaling(args.mesh_devices)
         print(json.dumps({
+            # full sharding-overhead curve (VERDICT r4 #7) — wall-time
+            # ratio vs mesh=1 at each mesh size on shared cores
+            "overhead_curve": {str(k): round(fps1 / v, 3)
+                               for k, v in curve.items()},
             "metric": f"data-parallel serving step on an "
                       f"{args.mesh_devices}-device virtual mesh: wall-time "
                       "ratio vs single device at fixed total batch (1.0 = "
@@ -793,13 +1056,32 @@ def main():
             "value": round(fps1 / fpsn, 2), "unit": "x",
             "vs_baseline": round(fps1 / fpsn, 2)}))
     elif args.config == "video":
-        fps = bench_video(scheme=args.scheme)
+        fps, codec_fps, device_fps = bench_video(scheme=args.scheme)
         ref_fps = 10 / 3.45      # interval=10, 3.45 s/marked frame on CPU
         print(json.dumps({
+            # split metric (VERDICT r4 #3): codec_fps is the host
+            # decode+encode ceiling with ZERO device work; device_fps the
+            # marked-frame device dispatch alone. e2e ≈ min(the two)
+            # proves which half binds — on this single-vCPU tunnel host
+            # it's the codec.
+            "codec_only_fps": round(codec_fps, 2),
+            "device_step_marked_fps": (round(device_fps, 2)
+                                       if device_fps else None),
             "metric": f"1080p30 video embed end-to-end "
                       f"({args.scheme} scheme, incl. host codecs)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / ref_fps, 1)}))
+    elif args.config == "geometric":
+        worst, _table = bench_geometric()
+        print(json.dumps({
+            "metric": "4K detect score under sub-block translation "
+                      "(shift 1/2/4 px, border-replicate) WITH the "
+                      "translation-resync search, alpha 0.10-0.18 (min; "
+                      "unaided blocked detect collapses — logged table "
+                      "includes rotation rows and the full parity "
+                      "scheme's column)",
+            "value": round(worst, 4), "unit": "NC score",
+            "vs_baseline": round(worst / 0.30, 2)}))
     else:
         worst, _table = bench_robustness()
         print(json.dumps({
