@@ -25,6 +25,7 @@ Run with --config to exercise the other BASELINE.json configs
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -173,6 +174,152 @@ def bench_embed_extract(h=1080, w=1920, batch=4, iters=32, color=True):
             log(f"serve+score rep{rep}: {dt:.3f}s for {batch * iters} "
                 f"frames ({batch * iters / dt:.1f} fps)")
     return fps
+
+
+def bench_budget(h=1080, w=1920, batch=128, iters=8):
+    """Per-pass budget of the composed 1080p color serving step (VERDICT
+    r4: the north-star 'done' alternative — an itemized table proving the
+    measured single-chip ceiling, with the sweep tier as the one real
+    lever). All rows use the chained-accumulator methodology at the
+    CURRENT tier (DCTSVD_FUSED_SWEEPS; one process per tier):
+
+      full        composed embed+extract in one jit (the headline step)
+      embed       embed_color_prepared alone
+      extract     extract_color_prepared alone (recompute=False)
+      spectrum    extract-side Jacobi spectrum read alone
+      tail        estimator + einsum reconstruction + normalize + u8
+      transpose   one u8 in-view transpose (the XLA relayout the
+                  in-kernel Mosaic relayout would remove if the
+                  toolchain allowed it — tools/exp_relayout.py)
+
+    plus the Jacobi schedule's marginal cost measured directly (spectrum
+    and embed at 1 vs 2 full sweeps -> ms per 28-pair sweep per side),
+    from which the zero-sweep fixed-cost ceiling follows:
+        ceiling_fps = batch / (t_full - sched_sweeps * (m_e + m_s))
+    i.e. the fps if the rotation schedule cost nothing but every fixed
+    pass (views, transposes, estimator, einsum tail, u8 epilogues)
+    stayed. Returns (fps_at_tier, budget dict)."""
+    import jax
+    import jax.numpy as jnp
+    from dctsvd_tpu.models import blocked
+    from dctsvd_tpu.ops import wm_pallas
+
+    frames, wm, blk, intra = _inputs(batch, h, w)
+    alpha = jnp.float32(0.12)
+    pw = blocked.prepare_wm_color(wm, blk, intra)
+    tier = blocked._FUSED_SWEEPS
+    log(f"budget at tier s{tier}, batch={batch}")
+
+    stego0, sc0, _, _ = blocked.embed_color_prepared(
+        frames, pw.sw, alpha, with_metrics=False)
+    s_cw0 = blocked._frames_spectrum(stego0)
+    jax.block_until_ready((stego0, sc0, s_cw0))
+
+    def timed(name, fn, *args):
+        acc = jnp.float32(0.0)
+        _ = float(fn(*args, acc))          # compile + first
+        best = float("inf")
+        for _rep in range(2):
+            acc = jnp.float32(0.0)
+            t0 = time.time()
+            for _ in range(iters):
+                acc = fn(*args, acc)
+            _ = float(acc)                 # one sync per chain
+            best = min(best, (time.time() - t0) / iters)
+        log(f"  {name:42s} {best * 1e3:8.2f} ms/iter "
+            f"({batch / best:7.1f} fps)")
+        return best
+
+    @jax.jit
+    def full(frames, sw, ebasis, iblk, alpha, acc):
+        stego, sc, _, _ = blocked.embed_color_prepared.__wrapped__(
+            frames, sw, alpha, with_metrics=False)
+        rec = blocked.extract_color_prepared.__wrapped__(
+            stego, sc, ebasis, iblk, alpha, sw=sw, recompute=False)
+        return (acc + rec.reshape(-1)[0].astype(jnp.float32)
+                + stego.reshape(-1)[0].astype(jnp.float32)
+                + sc.reshape(-1)[0])
+
+    @jax.jit
+    def embed_only(frames, sw, alpha, acc):
+        stego, sc, _, _ = blocked.embed_color_prepared.__wrapped__(
+            frames, sw, alpha, with_metrics=False)
+        return (acc + stego.reshape(-1)[0].astype(jnp.float32)
+                + sc.reshape(-1)[0])
+
+    @jax.jit
+    def extract_only(stego, sc, ebasis, iblk, alpha, sw, acc):
+        rec = blocked.extract_color_prepared.__wrapped__(
+            stego, sc, ebasis, iblk, alpha, sw=sw, recompute=False)
+        return acc + rec.reshape(-1)[0].astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("sweeps",))
+    def spectrum_only(stego, acc, sweeps=None):
+        s = blocked._frames_spectrum(stego, sweeps)
+        return acc + s.reshape(-1)[0]
+
+    @jax.jit
+    def tail_only(s_cw, sc, ebasis, iblk, alpha, sw, acc):
+        rec = blocked._extract_tail_prepared(
+            s_cw, sc, ebasis, iblk, alpha, blocked.K_FRAC_DEFAULT,
+            True, h, w, sw=sw, to_frames=True, out_u8=True)
+        return acc + rec.reshape(-1)[0].astype(jnp.float32)
+
+    @jax.jit
+    def inview_u8(frames, acc):
+        v, _lead, _hb, _wb = wm_pallas._frames_cols_view(frames)
+        return acc + v.reshape(-1)[:8].astype(jnp.float32).sum()
+
+    @functools.partial(jax.jit, static_argnames=("sweeps",))
+    def embed_at(frames, sws, acc, sweeps):
+        padded, _, _ = blocked._pad_frames_to_blocks(frames)
+        marked, sc = wm_pallas.embed_plane_blocks.__wrapped__(
+            padded, sws, k=blocked.k_of_block(blocked.K_FRAC_DEFAULT),
+            sweeps=sweeps, out_u8=True, channels_last=True)
+        return (acc + marked.reshape(-1)[0].astype(jnp.float32)
+                + sc.reshape(-1)[0])
+
+    t_full = timed("full step (embed+extract, one jit)", full, frames,
+                   pw.sw, pw.ebasis, pw.inv_blk, alpha)
+    t_e = timed("embed", embed_only, frames, pw.sw, alpha)
+    t_x = timed("extract", extract_only, stego0, sc0, pw.ebasis,
+                pw.inv_blk, alpha, pw.sw)
+    t_s = timed("  spectrum (extract side)", spectrum_only, stego0)
+    t_t = timed("  tail (estimator+einsum+norm+u8)", tail_only, s_cw0,
+                sc0, pw.ebasis, pw.inv_blk, alpha, pw.sw)
+    t_v = timed("  one u8 in-view transpose", inview_u8, stego0)
+
+    # Jacobi schedule marginal cost per full 28-pair sweep, each side
+    k = blocked.k_of_block(blocked.K_FRAC_DEFAULT)
+    mask = (jnp.arange(blocked.BLOCK) < k).astype(jnp.float32)
+    sws = blocked._scaled_sws(pw.sw, alpha, mask)
+    t_e1 = timed("embed kernel @ 1 sweep", embed_at, frames, sws, sweeps=1)
+    t_e2 = timed("embed kernel @ 2 sweeps", embed_at, frames, sws,
+                 sweeps=2)
+    t_s1 = timed("spectrum @ 1 sweep", spectrum_only, stego0, sweeps=1)
+    t_s2 = timed("spectrum @ 2 sweeps", spectrum_only, stego0, sweeps=2)
+    m_e, m_s = t_e2 - t_e1, t_s2 - t_s1
+
+    sched = float(tier)
+    t_sched = sched * (m_e + m_s)
+    fixed = t_full - t_sched
+    budget = {
+        "tier": tier, "batch": batch,
+        "ms": {"full": round(t_full * 1e3, 2),
+               "embed": round(t_e * 1e3, 2),
+               "extract": round(t_x * 1e3, 2),
+               "spectrum": round(t_s * 1e3, 2),
+               "tail": round(t_t * 1e3, 2),
+               "inview_transpose_u8": round(t_v * 1e3, 2)},
+        "sweep_marginal_ms": {"embed_per_sweep": round(m_e * 1e3, 2),
+                              "spectrum_per_sweep": round(m_s * 1e3, 2)},
+        "schedule_ms_at_tier": round(t_sched * 1e3, 2),
+        "fixed_ms": round(fixed * 1e3, 2),
+        "fps_at_tier": round(batch / t_full, 1),
+        "ceiling_fps_zero_sweeps": round(batch / fixed, 1),
+    }
+    log(f"budget: {json.dumps(budget)}")
+    return batch / t_full, budget
 
 
 def bench_detect(h=1080, w=1920, batch=16, iters=32):
@@ -943,7 +1090,7 @@ def main():
                    choices=["1080p", "1080pgray", "512gray", "detect",
                             "video", "robustness", "4k", "mesh",
                             "1080p-full", "detect-roc", "8k-plane",
-                            "geometric"])
+                            "geometric", "budget"])
     p.add_argument("--mesh-devices", type=int, default=8)
     # batch sweep on v5e (round 3, s2 serving): 96 -> 490 fps, 112 -> 506,
     # 128 -> 517/518 (two runs), 144 -> 465, 160 -> 474, 192 -> 491;
@@ -1071,6 +1218,16 @@ def main():
                       f"({args.scheme} scheme, incl. host codecs)",
             "value": round(fps, 2), "unit": "frames/sec/chip",
             "vs_baseline": round(fps / ref_fps, 1)}))
+    elif args.config == "budget":
+        fps, budget = bench_budget(batch=args.batch, iters=args.iters)
+        print(json.dumps({
+            "metric": "per-pass budget of the 1080p color serving step "
+                      f"at tier s{budget['tier']}: measured fps with the "
+                      "itemized pass table and the zero-sweep fixed-cost "
+                      "ceiling (budget key)",
+            "budget": budget,
+            "value": round(fps, 2), "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / REF_BASELINE_FPS, 1)}))
     elif args.config == "geometric":
         worst, _table = bench_geometric()
         print(json.dumps({

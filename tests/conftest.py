@@ -57,7 +57,15 @@ def _clear_jax_caches_between_modules():
     half-suite subset passes, either half + wm_pallas passes — the
     trigger is cumulative compiled-module state, not any one graph).
     Clearing per module keeps the live-executable population bounded;
-    the persistent disk cache makes the re-compiles cheap reads."""
+    the persistent disk cache makes the re-compiles cheap reads.
+
+    Toolchain pin for the repro: jax/jaxlib 0.9.0 on linux x86-64,
+    XLA:CPU, --xla_force_host_platform_device_count=8, 1 physical core.
+    Minimal repro recipe: run the suite with this fixture deleted —
+    the ~139th distinct executable compiled by one process SIGSEGVs in
+    backend_compile_and_load. Re-check on every jax upgrade; if a new
+    version survives the fixture-less run, delete the fixture (module
+    ordering should not be load-bearing for suite stability)."""
     yield
     jax.clear_caches()
 
