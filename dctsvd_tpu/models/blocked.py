@@ -89,7 +89,8 @@ def _pad_frames_to_blocks(x: jax.Array,
 # schedule on nearby matrices, so the residual convergence bias cancels in
 # (s_cw - sc) — the embed-time count rides the meta (embed_sweeps_used)
 # precisely so both sides replay it. The kernel-default 4 is kept for
-# cross-path workflows (ops/wm_pallas.py); serving takes 2 sweeps. The
+# cross-path workflows (ops/wm_pallas.py); serving takes the tier
+# schedule below (s1.25 since round 5, s2 in rounds 2-4). The
 # round-2 A/B that measured s2 == s3 in fps ran when the step was
 # glue-bound; with the round-3 view-transpose work the kernels dominate
 # again and s2 measures 492 vs s3's 393 fps on 1080p color (the marginal
@@ -98,17 +99,32 @@ def _pad_frames_to_blocks(x: jax.Array,
 # robustness), which runs the fused path on hardware. DCTSVD_FUSED_SWEEPS
 # overrides for sweep-count quality/perf studies.
 #
-# sweeps=1 is a measured FAST TIER, deliberately not the default:
-# 714 vs 517 fps 1080p color (round-4 hardware re-measurement, batch
-# 128). The round-4 shrinkage estimator + rectified detect absorbed the
-# worst round-3 s1 penalties (crop extraction at the 0.60 edge, clean
-# extract 0.79 — both gone), and the full 4K table at s1 is now within
-# 0.005 min detect of s2 (0.8651 vs 0.8697) — but the larger
-# un-cancelled residual still costs real extraction quality under noise
-# (σ5: NC 0.864-0.887 vs 0.900-0.908, SSIM 0.810 vs 0.895 at α=0.10)
-# and ~0.01 NC under JPEG-q50 (stego PSNR/SSIM unchanged). Deployments
-# whose robustness budget allows it opt in with DCTSVD_FUSED_SWEEPS=1;
-# extract/detect replay the embed-time count from the meta either way.
+# DEFAULT TIER s1.25 (one full 28-pair cyclic sweep + the first 7 pairs
+# of a second) — promoted from s2 after the round-5 hardware tier study
+# (tools/round5_tiers.sh, v5e 2026-08-19, one process per tier, full 4K
+# robustness sweep incl. the new JPEG-q30 row, α 0.10–0.22):
+#
+#   tier   e+e fps  s+score   min detect  min NC   min SSIM  noise SSIM@α.13
+#   s0.5     818      880       0.061     -0.215   -0.214    (disqualified)
+#   s0.75    747      932       0.792      0.804    0.685    0.725
+#   s1       681      828       0.789      0.809    0.797    0.857
+#   s1.25    627      750       0.784      0.809    0.803    0.880
+#   s1.75    544      637       (not re-run; bracketed by s1.25/s2)
+#   s2       500      583       0.800      0.810    0.802    0.886
+#
+# s1.25 matches s2's quality floor on every table aggregate (min detect
+# 0.784 vs 0.800 — both far above the 0.30 threshold; min extraction NC
+# 0.809 vs 0.810; min SSIM 0.803 vs 0.802) and is within 0.006 SSIM of
+# s2 per-cell at every α ≥ 0.13; the only cell where s2 still wins
+# meaningfully is noise-σ5 extraction SSIM at the α=0.10 extreme (0.848
+# vs 0.895). That buys +25 % throughput (627 vs 500 fps 1080p color,
+# batch 128). s1 keeps a further +9 % for deployments that accept
+# ~0.03 noise-extraction SSIM at the default α; s0.75 is detect-grade
+# only (extraction under noise degrades visibly); s0.5 fails robustness
+# outright (resize50 polarity inversion returns, detect min 0.06) —
+# never ship it. s2 remains selectable as the max-quality tier.
+# Extract/detect replay the embed-time schedule from the meta either
+# way, so mixed-tier archives keep exact (s_cw − sc) cancellation.
 import os as _os
 
 
@@ -127,7 +143,7 @@ def _parse_sweeps_env(raw: str):
 
 
 _FUSED_SWEEPS = _parse_sweeps_env(
-    _os.environ.get("DCTSVD_FUSED_SWEEPS", "2"))
+    _os.environ.get("DCTSVD_FUSED_SWEEPS", "1.25"))
 
 
 def embed_sweeps_used():
@@ -1545,11 +1561,15 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
 
 def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
                  resync: bool = False, block_radius: int = 0):
-    """``resync=True`` additionally searches candidate translations when
-    the aligned score misses the threshold (detect_gray_resync): the
-    aligned single detect stays the fast path, and an aligned stego
-    returns the identical score it always did (the (0, 0) candidate is
-    in the search and scores are exact, not approximated)."""
+    """``resync=True`` always runs the translation search and returns the
+    best realigned score (detect_gray_resync): the caller explicitly asked
+    for it, and a translated stego can DEGRADE without missing the
+    threshold (e.g. 3 px at 512² scores ~0.66 vs 0.30 — still "detected",
+    but the caller wants the aligned ~0.99 and the recovered shift). The
+    (0, 0) candidate is in the search and scores are exact, so an aligned
+    stego returns the identical score it always did and the result is
+    never worse than the plain detect. resync=False stays the single-
+    dispatch fast path."""
     is_color = meta.mode == metaio.MODE_BLOCKED_COLOR
     fn = detect_color if is_color else detect_gray
     sc = jnp.asarray(meta.arrays["Sc"])
@@ -1557,7 +1577,7 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
     score = float(fn(jnp.asarray(stego), sc, sw,
                      jnp.float32(meta.alpha), kfrac=meta.kfrac,
                      sweeps=meta.sched()))
-    if resync and score < thresh:
+    if resync:
         rfn = detect_color_resync if is_color else detect_gray_resync
         score2, _shift = rfn(jnp.asarray(stego), sc, sw, meta.alpha,
                              kfrac=meta.kfrac, sweeps=meta.sched(),

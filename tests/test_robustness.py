@@ -240,3 +240,17 @@ def test_blocked_detect_translation_resync(assets):
                                             meta.alpha)
     assert t0 == (0, 0)
     assert abs(score0 - aligned) < 1e-3
+
+    # explicit resync=True must search even when the degraded plain score
+    # still clears the threshold (a 2-3 px shift on this host degrades
+    # without missing): the caller asked for the aligned score, and the
+    # (0,0) candidate guarantees the result is never worse than plain.
+    m = np.float32([[1, 0, 3], [0, 1, 2]])
+    sp23 = str(d / "geo_shift23.png")
+    cv2.imwrite(sp23, cv2.warpAffine(stego, m,
+                                     (stego.shape[1], stego.shape[0]),
+                                     borderMode=cv2.BORDER_REPLICATE))
+    ok_p23, s_p23 = api.detect(sp23, mp)
+    ok_r23, s_r23 = api.detect(sp23, mp, resync=True)
+    assert ok_p23 and ok_r23
+    assert s_r23 > 0.95 and s_r23 >= s_p23, (s_p23, s_r23)
