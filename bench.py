@@ -215,15 +215,15 @@ def bench_budget(h=1080, w=1920, batch=128, iters=8):
     s_cw0 = blocked._frames_spectrum(stego0)
     jax.block_until_ready((stego0, sc0, s_cw0))
 
-    def timed(name, fn, *args):
+    def timed(name, fn, *args, **kw):
         acc = jnp.float32(0.0)
-        _ = float(fn(*args, acc))          # compile + first
+        _ = float(fn(*args, acc, **kw))    # compile + first
         best = float("inf")
         for _rep in range(2):
             acc = jnp.float32(0.0)
             t0 = time.time()
             for _ in range(iters):
-                acc = fn(*args, acc)
+                acc = fn(*args, acc, **kw)
             _ = float(acc)                 # one sync per chain
             best = min(best, (time.time() - t0) / iters)
         log(f"  {name:42s} {best * 1e3:8.2f} ms/iter "

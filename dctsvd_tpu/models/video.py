@@ -246,6 +246,13 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         raise ValueError(f"unknown scheme: {scheme!r}")
     alpha_d = jnp.float32(alpha)
 
+    # Materialize the watermark factors ONCE, up front. On tunnel-attached
+    # chips a device->host transfer costs ~0.1-0.5 s AND holds the GIL for
+    # ~3/4 of it (measured round 5, tools/probe_link.py) — re-downloading
+    # uw/sw/vtw inside every _checkpoint stalled the decode/encode threads
+    # for ~0.8 s per checkpoint on 1080p content.
+    uw_np, sw_np, vtw_np = to_numpy(uw_d), to_numpy(sw_d), to_numpy(vtw_d)
+
     write_path = out_path + temp_suffix
     meta_path = metaio._npz_path(meta_path)
     host_sig = _host_signature(host_path)
@@ -255,7 +262,7 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
     start_segment = 0
     if resume:
         prev = _load_resume_state(meta_path, write_path, scheme, alpha,
-                                  frame_interval, color, to_numpy(sw_d),
+                                  frame_interval, color, sw_np,
                                   kfrac, host_sig)
         if prev is not None:
             start_frame, start_segment, frame_indices, s_list = prev
@@ -268,11 +275,12 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                             if scheme == "blocked" else (0, 0))
 
     def _checkpoint(frames_done: int = -1, segments_done: int = 0):
+        _materialize_s()
         meta = metaio.VideoMeta(
             frame_indices=np.asarray(frame_indices, np.int64),
             s_orig=np.stack(s_list) if s_list else
             np.zeros((0, 0), np.float32),
-            uw=to_numpy(uw_d), sw=to_numpy(sw_d), vtw=to_numpy(vtw_d),
+            uw=uw_np, sw=sw_np, vtw=vtw_np,
             alpha=alpha, frame_interval=frame_interval,
             watermark_shape=wm_plane.shape, is_color=color,
             scheme=scheme, kfrac=kfrac,
@@ -310,7 +318,14 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         for _ in range(retries + 1):
             try:
                 marked, s_orig = _embed_fn(jnp.asarray(planes))
-                return to_numpy(marked), to_numpy(s_orig)
+                # marked frames must come back now (the writer needs
+                # them in order), but s_orig stays ON DEVICE: its
+                # download is deferred to checkpoint time
+                # (_materialize_s) — on tunnel-attached chips every
+                # device->host call holds the GIL for most of its
+                # duration, so a per-chunk s download stalled the
+                # decode/encode threads in the steady state.
+                return to_numpy(marked), s_orig
             except transient as e:
                 last_err = e
                 logger.warning("chunk dispatch failed (%s), retrying", e)
@@ -344,14 +359,39 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
         inflight.append((fut, [(slot, fidx) for slot, fidx, _ in pending]))
         pending.clear()
 
+    s_pending = collections.deque()       # (device s_orig [chunk,...], k)
+
     def _drain_one():
         fut, slots = inflight.popleft()
         marked, s_orig = fut.result()
+        s_pending.append((s_orig, len(slots)))
         for j, (slot, fidx) in enumerate(slots):
             results[slot] = marked[j]
             frame_indices.append(fidx)
-            s_list.append(s_orig[j])
             tp.add()
+
+    def _materialize_s():
+        """Download the deferred per-chunk singular values (one warm-path
+        transfer per chunk, off the steady-state loop). Runs before every
+        checkpoint write so the meta on disk always carries s rows for
+        every frame index it records. Transfers of already-computed
+        arrays can still hit transient tunnel errors — same retry policy
+        as the dispatch."""
+        transient = (jax.errors.JaxRuntimeError, OSError, TimeoutError)
+        while s_pending:
+            dev, k = s_pending[0]
+            last_err = None
+            for _ in range(retries + 1):
+                try:
+                    arr = to_numpy(dev)
+                    break
+                except transient as e:
+                    last_err = e
+                    logger.warning("s download failed (%s), retrying", e)
+            else:
+                raise last_err
+            s_list.extend(arr[:k])
+            s_pending.popleft()
 
     def _write_one(writer, kind, payload):
         if kind == "pass":
@@ -436,7 +476,12 @@ def _embed_video_impl(host_path: str, out_path: str, meta_path: str,
                 # progress — dispatching the partial chunk if that is what
                 # blocks the head — so host RAM between flushes is bounded by
                 # max_buffered frames even at large frame_interval × 4K.
-                max_buffered = 32
+                # Cap must cover a full dispatch span (chunk × interval
+                # frames arrive between submits) or the main thread hits
+                # the cap mid-flight and serializes on the link round
+                # trip; RAM cost is max_buffered decoded frames.
+                max_buffered = int(os.environ.get(
+                    "DCTSVD_VIDEO_MAX_BUFFERED", "32"))
                 try:
                     for idx, frame in video_io.iter_frames_threaded(
                             reader, start_frame=start_frame):
