@@ -548,14 +548,26 @@ def bench_geometric(h=2160, w=3840, alphas=(0.10, 0.13, 0.18)):
     ({1,2,4} px, border-replicate warp — NOT wrapping rolls) collapse the
     unaided blocked detect to ~0; the translation-resync search
     (models/blocked.detect_gray_resync: every candidate realignment
-    scored as one batched detect, max taken) must recover it. Rotation
-    has no global realignment — its rows characterize the limitation
-    honestly (displacement grows with radius, so a 4K frame is the hard
-    case: 1° ≈ 38 px at the corners). The FULL parity scheme (whole-frame
-    SVD, the reference's own detect contract
-    ref app_dct_svd_single.py:291-318) runs the same battery as the
-    fallback column. Returns (min resync-detect over the translation
-    rows, table)."""
+    scored as one batched detect, max taken) must recover it. Rotations
+    (round 5) are answered by the counter-rotation search axis
+    (rot_range/rot_step + fine refinement); a 4K frame is the hard case
+    (1° ≈ 38 px at the corners, and a residual angle error of 0.025°
+    already costs ~1 px there — which is what the off-grid 0.37° row
+    measures). The FULL parity scheme (whole-frame SVD, the reference's
+    own detect contract ref app_dct_svd_single.py:291-318) runs the same
+    battery as the fallback column.
+
+    Rotation recovery is resampling-based, hence CONTENT-dependent in a
+    way the exact-roll translation recovery is not: bilinear rotation of
+    a white-noise host destroys its top octave irreversibly, so counter-
+    rotation leaves a large content residual no search can remove. The
+    rot rows therefore run on two hosts — the white-noise one
+    (adversarial worst case, suffix none) and a σ3-lowpassed
+    natural-statistics one (realistic content, suffix ``_nat``). The
+    headline min covers the rows where recovery is CLAIMED: all shift
+    rows + the _nat rotation rows; the white-noise rotation rows are
+    recorded as characterization (the full parity scheme is the
+    documented fallback there). Returns (that min, table)."""
     import cv2
     import jax.numpy as jnp
     from dctsvd_tpu.models import blocked
@@ -575,12 +587,16 @@ def bench_geometric(h=2160, w=3840, alphas=(0.10, 0.13, 0.18)):
             m = np.float32([[1, 0, s], [0, 1, s]])
             out[f"shift{s}"] = (cv2.warpAffine(
                 stego_np, m, (w, h), borderMode=cv2.BORDER_REPLICATE),
-                True)
-        for deg in (0.25, 1.0):
+                "shift")
+        # 0.25/1.0 land exactly on the 0.05° search grid; 0.37 is the
+        # honest off-grid case (nearest candidate 0.35°, residual 0.02°
+        # ≈ 0.8 px at the 4K corners — measures the grid's real
+        # resolution, not just the happy path)
+        for deg in (0.25, 0.37, 1.0):
             m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
             out[f"rot{deg}"] = (cv2.warpAffine(
                 stego_np, m, (w, h), borderMode=cv2.BORDER_REPLICATE),
-                True)
+                ("rot", deg))
         return out
 
     # full-scheme reference column: whole-frame SVD detect on the SAME
@@ -589,6 +605,14 @@ def bench_geometric(h=2160, w=3840, alphas=(0.10, 0.13, 0.18)):
         return float(m_image.detect_gray(
             jnp.asarray(img_np), s_cover, sw_full, jnp.float32(alpha)))
 
+    # realistic-content host for the _nat rotation rows (σ3 lowpass, the
+    # unit-test regime; same shape/key so the prepared wm is shared)
+    rng_nat = np.random.default_rng(7)
+    nat_np = cv2.GaussianBlur(
+        rng_nat.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8),
+        (0, 0), 3.0)
+    nat_frames = jnp.asarray(nat_np[None])
+
     table = {}
     worst_resync = 1.0
     for a in alphas:
@@ -596,24 +620,48 @@ def bench_geometric(h=2160, w=3840, alphas=(0.10, 0.13, 0.18)):
         stego, sc, _, _ = blocked.embed_gray_prepared(
             frames, pw.sw, alpha, with_metrics=False)
         stego_np = np.asarray(stego)[0]
+        stego_nat, sc_nat, _, _ = blocked.embed_gray_prepared(
+            nat_frames, pw.sw, alpha, with_metrics=False)
+        stego_nat_np = np.asarray(stego_nat)[0]
 
         # full-scheme embed of the same cover/watermark for the fallback
         # column (gray parity path)
         fr = m_image.embed_gray(frames[0], wm_gray_d, perm_idx, alpha)
         stego_full = np.asarray(fr.stego_bgr)
-        row = {}
-        for name, (img, try_resync) in geo_attacks(stego_np).items():
+
+        def run_cell(img, kind, sc_use):
             img_d = jnp.asarray(img[None])
-            plain = float(blocked.detect_gray(img_d, sc, pw.sw, alpha)[0])
+            plain = float(blocked.detect_gray(img_d, sc_use, pw.sw,
+                                              alpha)[0])
             cell = {"detect": round(plain, 4)}
-            if try_resync:
-                score, t = blocked.detect_gray_resync(
-                    jnp.asarray(img), sc[0], pw.sw, alpha)
+            if kind == "shift":
+                score, t, _ = blocked.detect_gray_resync(
+                    jnp.asarray(img), sc_use[0], pw.sw, alpha)
                 cell["resync"] = round(score, 4)
                 cell["est_shift"] = list(t)
-                if name.startswith("shift"):
-                    worst_resync = min(worst_resync, score)
+            else:                       # ("rot", deg)
+                _, deg = kind
+                # pure rotation about center: window=1 isolates the
+                # angle axis (one detect per candidate angle)
+                score, t, ang = blocked.detect_gray_resync(
+                    jnp.asarray(img), sc_use[0], pw.sw, alpha,
+                    window=1, chunk=1,
+                    rot_range=deg + 0.10, rot_step=0.05)
+                cell["resync"] = round(score, 4)
+                cell["est_angle"] = round(ang, 3)
+            return cell, score
+
+        for name, (img, kind) in geo_attacks(stego_np).items():
+            cell, score = run_cell(img, kind, sc)
+            if kind == "shift":         # headline: recovery is claimed
+                worst_resync = min(worst_resync, score)
             table.setdefault(f"alpha={a:.2f}", {})[name] = cell
+        for name, (img, kind) in geo_attacks(stego_nat_np).items():
+            if kind == "shift":
+                continue                # shift recovery is content-free
+            cell, score = run_cell(img, kind, sc_nat)
+            worst_resync = min(worst_resync, score)
+            table[f"alpha={a:.2f}"][name + "_nat"] = cell
         # the full parity scheme under the same attacks, against ITS stego
         for name, (img, _) in geo_attacks(stego_full).items():
             det = full_detect(img, fr.sc, fr.sw, a)
@@ -1231,11 +1279,13 @@ def main():
     elif args.config == "geometric":
         worst, _table = bench_geometric()
         print(json.dumps({
-            "metric": "4K detect score under sub-block translation "
-                      "(shift 1/2/4 px, border-replicate) WITH the "
-                      "translation-resync search, alpha 0.10-0.18 (min; "
-                      "unaided blocked detect collapses — logged table "
-                      "includes rotation rows and the full parity "
+            "metric": "4K detect score under geometric attacks WITH the "
+                      "resync search: min over shift 1/2/4 px rows and "
+                      "the natural-host rotation rows (0.25/0.37/1.0 "
+                      "deg, counter-rotation search), alpha 0.10-0.18 "
+                      "(unaided blocked detect collapses — logged table "
+                      "adds white-noise-host rotation rows as the "
+                      "resampling worst case and the full parity "
                       "scheme's column)",
             "value": round(worst, 4), "unit": "NC score",
             "vs_baseline": round(worst / 0.30, 2)}))

@@ -185,7 +185,9 @@ def extract(stego_path: str, meta_path: str, out_path: str,
 
 def detect(stego_path: str, meta_path: str,
            thresh: Optional[float] = None,
-           resync: bool = False) -> Tuple[bool, float]:
+           resync: bool = False,
+           rot_range: float = 0.0,
+           rot_step: float = 0.05) -> Tuple[bool, float]:
     """No-password NC detection (ref: app_dct_svd_single.py:291-318).
 
     Parity-mode metas score with the reference's global NC against its
@@ -198,7 +200,10 @@ def detect(stego_path: str, meta_path: str,
     ``thresh`` overrides either default. ``resync=True`` (blocked metas)
     searches candidate translations when the aligned score misses — the
     8×8 block grid makes an unaided blocked detect collapse under even a
-    1 px shift (models/blocked.detect_gray_resync)."""
+    1 px shift (models/blocked.detect_gray_resync); ``rot_range`` > 0
+    additionally searches attacker rotations within ±rot_range degrees
+    at rot_step resolution (counter-rotation resampling — the angle grid
+    must be fine, see models/blocked's resync section comment)."""
     meta = metaio.load_meta(meta_path)
     stego = image_io.read_bgr(stego_path)
 
@@ -208,7 +213,7 @@ def detect(stego_path: str, meta_path: str,
         return m_blocked.detect_paths(
             stego, meta,
             DETECT_THRESH_BLOCKED if thresh is None else thresh,
-            resync=resync)
+            resync=resync, rot_range=rot_range, rot_step=rot_step)
     if thresh is None:
         thresh = DETECT_THRESH_DEFAULT
 

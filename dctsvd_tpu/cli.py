@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "makes an unaided blocked detect collapse under even "
                    "a 1 px shift; ~225 batched detects, one dispatch "
                    "per chunk)")
+    p.add_argument("--resync-rot", type=float, default=0.0,
+                   metavar="DEG",
+                   help="with --resync: also search attacker rotations "
+                   "within +-DEG degrees (counter-rotation resampling; "
+                   "each candidate angle re-runs the shift scan, so "
+                   "cost grows with DEG / --resync-rot-step)")
+    p.add_argument("--resync-rot-step", type=float, default=0.05,
+                   metavar="DEG",
+                   help="angle grid resolution (default 0.05 deg — a "
+                   "residual angle error dt misaligns a block at radius "
+                   "r by ~r*dt px, and the grid tolerates <1 px)")
 
     p = sub.add_parser("embed-payload", help="embed text/JSON payload")
     p.add_argument("cover")
@@ -165,7 +176,9 @@ def _run(args) -> int:
     elif args.cmd == "detect":
         from dctsvd_tpu import api
         found, score = api.detect(args.stego, args.meta, thresh=args.thresh,
-                                  resync=args.resync)
+                                  resync=args.resync,
+                                  rot_range=args.resync_rot,
+                                  rot_step=args.resync_rot_step)
         print(json.dumps({"watermarked": found, "score": round(score, 4)}))
         return 0 if found else 1
     elif args.cmd == "embed-payload":

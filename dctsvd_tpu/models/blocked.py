@@ -1292,9 +1292,67 @@ def detect_color(stego_bgr_u8: jax.Array, sc: jax.Array,
 # translations additionally shift the block INDEX grid, which scrambles
 # the keyed block permutation exactly like a wrong password — scores
 # stay ~0 — so whole-block offsets must be part of the search radius,
-# not inferred. Rotation has no global realignment (the misalignment
-# varies across the frame); it is characterized as a limitation in the
-# bench table rather than silently scored.
+# not inferred. Rotation has no ROLL-based realignment (the displacement
+# varies across the frame), but it does have a resampling one: counter-
+# rotating the stego about its center with the same bilinear warp an
+# attacker used restores the block grid everywhere at once, so rotation
+# becomes one more search axis (rot_range/rot_step below) — candidate
+# angle × candidate shift, every cell scored by the same batched detect.
+# The angle grid must be FINE: a residual angle error of dθ misaligns a
+# block at radius r by ~r·dθ px and the grid tolerates well under 1 px,
+# so recovering rotation at 1080p (corner radius ~1100 px) needs steps
+# of ~0.05° — which is why the angle axis is opt-in (rot_range=0 keeps
+# the cheap translation-only search) and why the 0.0 candidate is always
+# in the grid (derotation by 0 is exact, so an unrotated stego can never
+# score worse than the translation-only search).
+
+@functools.partial(jax.jit, static_argnames=("color_frames",))
+def _derotate(img: jax.Array, angle_deg: jax.Array,
+              color_frames: bool = False) -> jax.Array:
+    """Inverse-rotate ``img`` about its center by ``angle_deg`` degrees —
+    the realignment candidate for a stego an attacker rotated with
+    ``cv2.getRotationMatrix2D((w/2, h/2), angle_deg, 1.0)`` + warpAffine
+    (bilinear): matches cv2's own inverse warp to ~1e-5 (probed on this
+    toolchain). ``angle_deg`` is dynamic, so the whole angle grid replays
+    one executable per image shape. _derotate(x, 0.0) is exactly x
+    (integer-tap bilinear), keeping the 0-angle candidate lossless."""
+    h, w = ((img.shape[-3], img.shape[-2]) if color_frames
+            else (img.shape[-2], img.shape[-1]))
+    # cv2 convention: rotation center (w/2, h/2), y-down coords; the
+    # inverse map for attacker angle a samples source coords rotated by
+    # +a: src = R(+a)·(dst − c) + c with R = [[cos, sin], [−sin, cos]].
+    th = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    c, s = jnp.cos(th), jnp.sin(th)
+    cy, cx = h * 0.5, w * 0.5
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    src_x = jnp.broadcast_to(c * xx + s * yy + cx, (h, w))
+    src_y = jnp.broadcast_to(-s * xx + c * yy + cy, (h, w))
+
+    def rot_plane(p):
+        return jax.scipy.ndimage.map_coordinates(
+            p.astype(jnp.float32), [src_y, src_x], order=1,
+            mode="constant", cval=0.0)
+
+    out = (jax.vmap(rot_plane, in_axes=-1, out_axes=-1)(img)
+           if color_frames else rot_plane(img))
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(img.dtype)
+
+
+def _resync_angles(rot_range: float, rot_step: float):
+    """Candidate attacker angles: 0 first (lossless identity), then the
+    ± grid out to rot_range, nearest-first so equal scores keep the
+    smallest-magnitude estimate."""
+    if rot_range <= 0.0:
+        return [0.0]
+    n = int(round(rot_range / rot_step))
+    out = [0.0]
+    for k in range(1, n + 1):
+        out += [k * rot_step, -k * rot_step]
+    return out
+
 
 def _resync_shifts(window: int, block_radius: int):
     """Candidate ROLL offsets covering every attacker translation with
@@ -1338,7 +1396,8 @@ def _detect_shift_chunk(img: jax.Array, sc: jax.Array, sw: jax.Array,
 
 
 def _detect_resync(img, sc, sw, alpha, *, kfrac, sweeps, window,
-                   block_radius, chunk, color_frames):
+                   block_radius, chunk, color_frames,
+                   rot_range=0.0, rot_step=0.05):
     shifts = np.asarray(_resync_shifts(window, block_radius), np.int32)
     # pad to a chunk multiple with (0, 0) so every chunk replays the SAME
     # executable (duplicate aligned candidates cost nothing and can only
@@ -1346,45 +1405,74 @@ def _detect_resync(img, sc, sw, alpha, *, kfrac, sweeps, window,
     pad = (-len(shifts)) % chunk
     if pad:
         shifts = np.concatenate([shifts, np.zeros((pad, 2), np.int32)])
-    best_score, best_shift = -np.inf, (0, 0)
-    for i in range(0, len(shifts), chunk):
-        part = shifts[i:i + chunk]
-        scores = np.asarray(_detect_shift_chunk(
-            img, sc, sw, jnp.float32(alpha), jnp.asarray(part),
-            kfrac=kfrac, sweeps=sweeps, color_frames=color_frames))
-        j = int(np.argmax(scores))
-        if float(scores[j]) > best_score:
-            best_score, best_shift = float(scores[j]), tuple(part[j])
-    # the roll that realigned is the INVERSE of the attacker translation
-    return best_score, (-int(best_shift[0]), -int(best_shift[1]))
+    best_score, best_shift, best_angle = -np.inf, (0, 0), 0.0
+
+    def scan(angles):
+        nonlocal best_score, best_shift, best_angle
+        for a in angles:
+            cand = img if a == 0.0 else _derotate(
+                img, jnp.float32(a), color_frames=color_frames)
+            for i in range(0, len(shifts), chunk):
+                part = shifts[i:i + chunk]
+                scores = np.asarray(_detect_shift_chunk(
+                    cand, sc, sw, jnp.float32(alpha), jnp.asarray(part),
+                    kfrac=kfrac, sweeps=sweeps, color_frames=color_frames))
+                j = int(np.argmax(scores))
+                if float(scores[j]) > best_score:
+                    best_score = float(scores[j])
+                    best_shift, best_angle = tuple(part[j]), a
+
+    scan(_resync_angles(rot_range, rot_step))
+    if rot_range > 0.0 and best_angle != 0.0:
+        # refine around the coarse argmax at step/5: an attacker angle
+        # OFF the coarse grid leaves a residual of up to step/2, which
+        # at large frames already mis-tiles the outer blocks (~r·dθ px);
+        # the fine pass recovers it for +8 candidates instead of a 5×
+        # finer full grid
+        fine = rot_step / 5.0
+        scan([best_angle + k * fine
+              for k in (-4, -3, -2, -1, 1, 2, 3, 4)])
+    # the roll/derotation that realigned is the INVERSE of the attacker
+    # translation; the angle grid is already in attacker units
+    return (best_score, (-int(best_shift[0]), -int(best_shift[1])),
+            float(best_angle))
 
 
 def detect_gray_resync(stego_bgr_u8: jax.Array, sc: jax.Array,
                        sw: jax.Array, alpha, kfrac: float = K_FRAC_DEFAULT,
                        sweeps: Optional[int] = None, window: int = BLOCK,
-                       block_radius: int = 0, chunk: int = 64):
-    """Translation-searching detect on ONE [H, W, 3] frame: max detect
+                       block_radius: int = 0, chunk: int = 64,
+                       rot_range: float = 0.0, rot_step: float = 0.05):
+    """Geometry-searching detect on ONE [H, W, 3] frame: max detect
     score over every candidate realignment (see module section comment).
-    Returns (score, (ty, tx)) — the estimated attacker translation in
-    pixels (0, 0 for an aligned stego; boundary blocks wrap and damage at
-    most one block ring, which the median-of-bands statistic absorbs).
-    Defaults scan the 15x15 sub-block offsets (~225 detects, one jit per
-    chunk); raise ``block_radius`` to chase whole-block translations."""
+    Returns (score, (ty, tx), angle) — the estimated attacker translation
+    in pixels and rotation in degrees ((0, 0), 0.0 for an aligned stego;
+    boundary blocks wrap/zero-fill and damage at most one block ring,
+    which the median-of-bands statistic absorbs). Defaults scan the 15×15
+    sub-block offsets (~225 detects, one jit per chunk); raise
+    ``block_radius`` to chase whole-block translations and set
+    ``rot_range`` > 0 to add the counter-rotation axis (each candidate
+    angle re-runs the full shift scan, so cost scales with
+    2·rot_range/rot_step + 1 — ~41 derotations + ~9k batched detects at
+    the ±1°/0.05° default, a few seconds at 1080p)."""
     y = color.luma_f32(stego_bgr_u8)
     return _detect_resync(y, sc, sw, alpha, kfrac=kfrac, sweeps=sweeps,
                           window=window, block_radius=block_radius,
-                          chunk=chunk, color_frames=False)
+                          chunk=chunk, color_frames=False,
+                          rot_range=rot_range, rot_step=rot_step)
 
 
 def detect_color_resync(stego_bgr_u8: jax.Array, sc: jax.Array,
                         sw: jax.Array, alpha,
                         kfrac: float = K_FRAC_DEFAULT,
                         sweeps: Optional[int] = None, window: int = BLOCK,
-                        block_radius: int = 0, chunk: int = 64):
+                        block_radius: int = 0, chunk: int = 64,
+                        rot_range: float = 0.0, rot_step: float = 0.05):
     return _detect_resync(stego_bgr_u8, sc, sw, alpha, kfrac=kfrac,
                           sweeps=sweeps, window=window,
                           block_radius=block_radius, chunk=chunk,
-                          color_frames=True)
+                          color_frames=True,
+                          rot_range=rot_range, rot_step=rot_step)
 
 
 # ---------------------------------------------------------------------------
@@ -1560,7 +1648,8 @@ def extract_paths(stego: np.ndarray, meta: metaio.Meta, out_path: str,
 
 
 def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
-                 resync: bool = False, block_radius: int = 0):
+                 resync: bool = False, block_radius: int = 0,
+                 rot_range: float = 0.0, rot_step: float = 0.05):
     """``resync=True`` always runs the translation search and returns the
     best realigned score (detect_gray_resync): the caller explicitly asked
     for it, and a translated stego can DEGRADE without missing the
@@ -1568,8 +1657,10 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
     but the caller wants the aligned ~0.99 and the recovered shift). The
     (0, 0) candidate is in the search and scores are exact, so an aligned
     stego returns the identical score it always did and the result is
-    never worse than the plain detect. resync=False stays the single-
-    dispatch fast path."""
+    never worse than the plain detect. ``rot_range`` > 0 adds the counter-
+    rotation axis to the search (attacker angle within ±rot_range°,
+    resolved to rot_step). resync=False stays the single-dispatch fast
+    path."""
     is_color = meta.mode == metaio.MODE_BLOCKED_COLOR
     fn = detect_color if is_color else detect_gray
     sc = jnp.asarray(meta.arrays["Sc"])
@@ -1579,8 +1670,11 @@ def detect_paths(stego: np.ndarray, meta: metaio.Meta, thresh: float,
                      sweeps=meta.sched()))
     if resync:
         rfn = detect_color_resync if is_color else detect_gray_resync
-        score2, _shift = rfn(jnp.asarray(stego), sc, sw, meta.alpha,
-                             kfrac=meta.kfrac, sweeps=meta.sched(),
-                             block_radius=block_radius)
+        score2, _shift, _angle = rfn(jnp.asarray(stego), sc, sw,
+                                     meta.alpha, kfrac=meta.kfrac,
+                                     sweeps=meta.sched(),
+                                     block_radius=block_radius,
+                                     rot_range=rot_range,
+                                     rot_step=rot_step)
         score = max(score, score2)
     return bool(score >= thresh), score

@@ -223,10 +223,11 @@ def test_blocked_detect_translation_resync(assets):
                                           sc, sw,
                                           jnp.float32(meta.alpha))[0])
         assert plain < plain_max, (sy, sx, plain)
-        score, t = blocked.detect_gray_resync(jnp.asarray(shifted), sc,
-                                              sw, meta.alpha)
+        score, t, ang = blocked.detect_gray_resync(jnp.asarray(shifted),
+                                                   sc, sw, meta.alpha)
         assert score > 0.95, (sy, sx, score)
         assert t == (sy, sx), (t, (sy, sx))
+        assert ang == 0.0
     # api surface: resync rescues the file-level detect at the collapse
     sp = str(d / "geo_shift77.png")
     cv2.imwrite(sp, shifted)
@@ -236,9 +237,9 @@ def test_blocked_detect_translation_resync(assets):
     assert ok_rs and s_rs > 0.95
 
     # aligned stego through the resync entry point: same score, (0, 0)
-    score0, t0 = blocked.detect_gray_resync(jnp.asarray(stego), sc, sw,
-                                            meta.alpha)
-    assert t0 == (0, 0)
+    score0, t0, ang0 = blocked.detect_gray_resync(jnp.asarray(stego), sc,
+                                                  sw, meta.alpha)
+    assert t0 == (0, 0) and ang0 == 0.0
     assert abs(score0 - aligned) < 1e-3
 
     # explicit resync=True must search even when the degraded plain score
@@ -254,3 +255,70 @@ def test_blocked_detect_translation_resync(assets):
     ok_r23, s_r23 = api.detect(sp23, mp, resync=True)
     assert ok_p23 and ok_r23
     assert s_r23 > 0.95 and s_r23 >= s_p23, (s_p23, s_r23)
+
+
+def test_blocked_detect_rotation_resync(assets):
+    """Rotation resync (round 5; closes the r4 'translation-only'
+    limitation): counter-rotating the stego about its center restores
+    the 8×8 grid globally, so rotation is a search axis like translation.
+    A 1° cv2 rotation degrades the unaided detect; the rot_range search
+    must recover a strong score and the attacker's angle — and a combined
+    rotation+translation attack must yield both estimates."""
+    import jax.numpy as jnp
+    from dctsvd_tpu.io import meta as metaio
+    from dctsvd_tpu.models import blocked
+    d, cp, wp = assets
+    out, mp, _, _ = api.embed(cp, wp, str(d / "rot.png"),
+                              str(d / "rot_m.npz"), alpha=0.14,
+                              password="pw", method="blocked")
+    stego = cv2.imread(out, cv2.IMREAD_COLOR)
+    h, w = stego.shape[:2]
+    meta = metaio.load_meta(mp)
+    sc = jnp.asarray(meta.arrays["Sc"])
+    sw = jnp.asarray(meta.arrays["Sw"])
+
+    deg = 1.0
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
+    rot = cv2.warpAffine(stego, m, (w, h),
+                         borderMode=cv2.BORDER_REPLICATE)
+    plain = float(blocked.detect_gray(jnp.asarray(rot[None]), sc, sw,
+                                      jnp.float32(meta.alpha))[0])
+    # pure rotation about center: no translation residue, so window=1
+    # (single (0,0) shift) isolates the angle axis
+    score, t, ang = blocked.detect_gray_resync(
+        jnp.asarray(rot), sc, sw, meta.alpha, window=1, chunk=1,
+        rot_range=1.2, rot_step=0.1)
+    # degradation at 1° is content/size-dependent (a 256² smooth host
+    # degrades gracefully; 4K collapses — bench --config geometric), so
+    # assert recovery quality, not a collapse margin
+    assert score > 0.9 and score >= plain, (plain, score)
+    assert abs(ang - deg) <= 0.1 + 1e-6, ang
+    assert t == (0, 0), t
+
+    # combined rotation + translation: both axes must resolve
+    m2 = np.float32([[1, 0, 2], [0, 1, 1]])
+    rot_sh = cv2.warpAffine(rot, m2, (w, h),
+                            borderMode=cv2.BORDER_REPLICATE)
+    score2, t2, ang2 = blocked.detect_gray_resync(
+        jnp.asarray(rot_sh), sc, sw, meta.alpha, window=4,
+        rot_range=1.0, rot_step=0.5)
+    assert score2 > 0.6, score2
+    assert abs(ang2 - deg) < 1e-6, ang2
+    assert t2 == (1, 2), t2
+
+    # unrotated stego through the rotation search: exact aligned result
+    # (the 0.0 candidate is lossless)
+    s0, t0, a0 = blocked.detect_gray_resync(
+        jnp.asarray(stego), sc, sw, meta.alpha, window=1, chunk=1,
+        rot_range=0.2, rot_step=0.1)
+    s_aligned = float(blocked.detect_gray(jnp.asarray(stego[None]), sc,
+                                          sw, jnp.float32(meta.alpha))[0])
+    assert a0 == 0.0 and t0 == (0, 0)
+    assert abs(s0 - s_aligned) < 1e-5
+
+    # api/CLI surface
+    rp = str(d / "rot_attack.png")
+    cv2.imwrite(rp, rot)
+    ok_r, s_r = api.detect(rp, mp, resync=True, rot_range=1.2,
+                           rot_step=0.1)
+    assert ok_r and s_r > 0.6
