@@ -122,6 +122,28 @@ def embed(cover_path: str, wm_source: str, out_path: str, meta_path: str,
     return out_path, meta_path, float(res.psnr), float(res.ssim)
 
 
+def _restore_meta_scale(stego: np.ndarray, meta: metaio.Meta) -> np.ndarray:
+    """A stego rescaled after embedding (thumbnail, re-encode pipeline)
+    otherwise hard-crashes both schemes with a shape mismatch deep in
+    the device graph — the reference fails the same way (its stored
+    ``Sc`` has the embed-time length, ref app_dct_svd_single.py:204-210).
+    The meta records the embed-time shape, so restore it host-side:
+    INTER_LINEAR up — exactly the resize50-restore regime the robustness
+    battery measures (detect ~0.8 after a 50 % round trip, bench
+    --config robustness) — and INTER_AREA down for an upscaled copy."""
+    if not meta.shape or stego.shape[:2] == tuple(meta.shape):
+        return stego
+    import cv2
+    h, w = meta.shape
+    up = h * w >= stego.shape[0] * stego.shape[1]
+    warnings.warn(
+        f"stego is {stego.shape[1]}x{stego.shape[0]} but the meta was "
+        f"written at {w}x{h}; rescaling to the embed-time shape "
+        f"(scores degrade like the resize-restore attack rows)")
+    return cv2.resize(stego, (w, h), interpolation=(
+        cv2.INTER_LINEAR if up else cv2.INTER_AREA))
+
+
 def extract(stego_path: str, meta_path: str, out_path: str,
             password: Optional[str] = None, normalize: bool = True,
             enhance: bool = True) -> str:
@@ -129,7 +151,7 @@ def extract(stego_path: str, meta_path: str, out_path: str,
     written without a password (legacy open mode) extract with
     ``password=None`` — no permutation, no HMAC."""
     meta = metaio.load_meta(meta_path)
-    stego = image_io.read_bgr(stego_path)
+    stego = _restore_meta_scale(image_io.read_bgr(stego_path), meta)
     h, w = meta.shape
     if meta.digest is not None:
         crypto.require_password(password)
@@ -203,9 +225,11 @@ def detect(stego_path: str, meta_path: str,
     1 px shift (models/blocked.detect_gray_resync); ``rot_range`` > 0
     additionally searches attacker rotations within ±rot_range degrees
     at rot_step resolution (counter-rotation resampling — the angle grid
-    must be fine, see models/blocked's resync section comment)."""
+    must be fine, see models/blocked's resync section comment). A stego
+    whose size differs from the meta's embed-time shape is rescaled back
+    first (_restore_meta_scale)."""
     meta = metaio.load_meta(meta_path)
-    stego = image_io.read_bgr(stego_path)
+    stego = _restore_meta_scale(image_io.read_bgr(stego_path), meta)
 
     if meta.is_blocked:
         from dctsvd_tpu.models import blocked as m_blocked
@@ -290,7 +314,7 @@ def extract_payload(stego_path: str, meta_path: str,
     from dctsvd_tpu.models import payload as m_payload
 
     meta = metaio.load_meta(meta_path)
-    stego = image_io.read_bgr(stego_path)
+    stego = _restore_meta_scale(image_io.read_bgr(stego_path), meta)
     h, w = meta.shape
     repeat = int(meta.arrays.get("repeat", 1))
 

@@ -257,6 +257,38 @@ def test_blocked_detect_translation_resync(assets):
     assert s_r23 > 0.95 and s_r23 >= s_p23, (s_p23, s_r23)
 
 
+def test_scale_restore_on_shape_mismatch(assets):
+    """A stego rescaled after embedding (thumbnail/re-post) must not
+    hard-crash with a device-graph shape mismatch (the reference does,
+    ref app_dct_svd_single.py:204-210): the api restores the meta's
+    embed-time shape host-side and proceeds, warning, with scores in the
+    measured resize-restore regime. An UPSCALED copy restores nearly
+    losslessly."""
+    import pytest as _pytest
+    d, cp, wp = assets
+    out, mp, _, _ = api.embed(cp, wp, str(d / "sc.png"),
+                              str(d / "sc_m.npz"), alpha=0.14,
+                              password="pw", method="blocked")
+    stego = cv2.imread(out)
+    h, w = stego.shape[:2]
+    up = str(d / "sc_up.png")
+    cv2.imwrite(up, cv2.resize(stego, (w * 2, h * 2),
+                               interpolation=cv2.INTER_LINEAR))
+    with _pytest.warns(UserWarning, match="rescaling"):
+        ok_up, s_up = api.detect(up, mp)
+    assert ok_up and s_up > 0.8, s_up
+
+    down = str(d / "sc_down.png")
+    cv2.imwrite(down, cv2.resize(stego, (w // 2, h // 2),
+                                 interpolation=cv2.INTER_AREA))
+    with _pytest.warns(UserWarning, match="rescaling"):
+        ok_dn, s_dn = api.detect(down, mp)
+    assert s_dn > 0.3, s_dn        # the resize50-restore regime
+    with _pytest.warns(UserWarning, match="rescaling"):
+        rec = api.extract(down, mp, str(d / "sc_rec.png"), password="pw")
+    assert cv2.imread(rec) is not None
+
+
 def test_blocked_detect_rotation_resync(assets):
     """Rotation resync (round 5; closes the r4 'translation-only'
     limitation): counter-rotating the stego about its center restores
